@@ -1,0 +1,185 @@
+"""Arrow-batched pandas UDFs wrapping the numpy kernels.
+
+Only the operations that genuinely need float math (cube-face projection,
+quadratic ST<->UV, Hilbert lookups) cross the JVM->Python Arrow boundary;
+all bit/token operations have native Catalyst forms in
+:mod:`s2cell_spark.functions.exprs` and should be preferred in filters so
+they push down (a predicate behind a pandas UDF does not).
+
+Null convention (SURVEY.md §1.2): invalid input rows yield null output —
+the reference raises InvalidCellID/InvalidToken scalar-side
+(s2cell/s2cell.py:26-30); a distributed engine must not fail a 100-TB job
+on one bad row. Validity is queryable via the native exprs.
+
+int64<->uint64: Spark longs arrive as pandas int64; kernels reinterpret the
+same 64 bits via ``.view(np.uint64)`` — no value conversion anywhere.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BooleanType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from s2cell_spark import kernels as K
+
+
+def _i64_to_u64(s: pd.Series) -> tuple[np.ndarray, np.ndarray]:
+    """(uint64 values, not-null mask) from a nullable int64 Series."""
+    notnull = s.notna().to_numpy()
+    vals = s.fillna(0).to_numpy(dtype=np.int64, copy=False).view(np.uint64)
+    return vals, notnull
+
+
+def _u64_to_nullable(vals: np.ndarray, ok: np.ndarray) -> pd.Series:
+    out = pd.Series(vals.view(np.int64), dtype="Int64")
+    out[~ok] = pd.NA
+    return out
+
+
+@F.pandas_udf(LongType())
+def s2_lat_lon_to_cell_id(lat: pd.Series, lon: pd.Series, level: pd.Series) -> pd.Series:
+    """Vectorized lat/lon degrees -> cell ID (s2cell/s2cell.py:625-674).
+    Null when any input is null or level is outside 0..30."""
+    ok = (
+        lat.notna().to_numpy()
+        & lon.notna().to_numpy()
+        & level.notna().to_numpy()
+    )
+    lvl = level.fillna(0).to_numpy(dtype=np.int64)
+    ok &= (lvl >= 0) & (lvl <= 30)
+    ids = K.lat_lon_to_cell_id(
+        lat.fillna(0.0).to_numpy(dtype=np.float64),
+        lon.fillna(0.0).to_numpy(dtype=np.float64),
+        np.clip(lvl, 0, 30).astype(np.uint64),
+    )
+    return _u64_to_nullable(ids, ok)
+
+
+_LATLON_SCHEMA = StructType(
+    [StructField("lat", DoubleType()), StructField("lon", DoubleType())]
+)
+
+
+@F.pandas_udf(_LATLON_SCHEMA)
+def s2_cell_id_to_lat_lon(cid: pd.Series) -> pd.DataFrame:
+    """cell ID -> struct(lat, lon) of the cell center
+    (s2cell/s2cell.py:708-771); null lat/lon for invalid IDs."""
+    vals, notnull = _i64_to_u64(cid)
+    ok = notnull & K.cell_id_is_valid(vals)
+    lat, lon = K.cell_id_to_lat_lon(np.where(ok, vals, np.uint64(1)))
+    return pd.DataFrame(
+        {
+            "lat": pd.array(np.where(ok, lat, np.nan), dtype="Float64"),
+            "lon": pd.array(np.where(ok, lon, np.nan), dtype="Float64"),
+        }
+    ).mask(~np.repeat(ok[:, None], 2, axis=1))
+
+
+@F.pandas_udf(LongType())
+def s2_token_to_cell_id(tok: pd.Series) -> pd.Series:
+    """Token -> cell ID (s2cell/s2cell.py:583-618); null for malformed
+    tokens. (Prefer exprs.token_to_cell_id in filters — it pushes down.)"""
+    notnull = tok.notna().to_numpy()
+    arr = tok.fillna("").to_numpy(dtype="U17")
+    ids, well_formed = K.token_to_cell_id(arr)
+    return _u64_to_nullable(ids, notnull & well_formed)
+
+
+@F.pandas_udf(StringType())
+def s2_cell_id_to_token(cid: pd.Series) -> pd.Series:
+    """cell ID -> token (s2cell/s2cell.py:552-580). Native expr exists too;
+    this kernel form is for parity testing and kernel-side pipelines."""
+    vals, notnull = _i64_to_u64(cid)
+    toks = K.cell_id_to_token(vals)
+    out = pd.Series(toks, dtype="object")
+    out[~notnull] = None
+    return out
+
+
+@F.pandas_udf(IntegerType())
+def s2_cell_id_to_level(cid: pd.Series) -> pd.Series:
+    """cell ID -> level (s2cell/s2cell.py:916-950); null when invalid."""
+    vals, notnull = _i64_to_u64(cid)
+    ok = notnull & K.cell_id_is_valid(vals)
+    lvl = K.cell_id_to_level(vals)
+    out = pd.Series(lvl, dtype="Int32")
+    out[~ok] = pd.NA
+    return out
+
+
+@F.pandas_udf(ArrayType(LongType()))
+def s2_neighbor_cell_ids(cid: pd.Series, edge: pd.Series, corner: pd.Series) -> pd.Series:
+    """Edge/corner neighbors at the cell's own level, in the reference's
+    down/right/up/left interleaved order (s2cell/s2cell.py:1076-1143).
+    Null for invalid cell IDs; cube-corner cells drop the off-face corner."""
+    vals, notnull = _i64_to_u64(cid)
+    ok = notnull & K.cell_id_is_valid(vals)
+    grid, valid, corner_flags = K.cell_id_to_neighbor_cell_ids_grid(
+        np.where(ok, vals, np.uint64(1))
+    )
+    signed = grid.view(np.int64)
+    edge_v = edge.fillna(True).to_numpy(dtype=bool)
+    corner_v = corner.fillna(False).to_numpy(dtype=bool)
+    out = []
+    for row in range(vals.shape[0]):
+        if not ok[row]:
+            out.append(None)
+            continue
+        keep = [
+            int(signed[row, col])
+            for col in range(8)
+            if valid[row, col]
+            and (
+                (edge_v[row] and not corner_flags[col])
+                or (corner_v[row] and corner_flags[col])
+            )
+        ]
+        out.append(keep)
+    return pd.Series(out, dtype="object")
+
+
+@F.pandas_udf(BooleanType())
+def s2_cell_id_is_valid(cid: pd.Series) -> pd.Series:
+    """Kernel-parity validity (prefer the native expr in query plans)."""
+    vals, notnull = _i64_to_u64(cid)
+    out = pd.Series(K.cell_id_is_valid(vals), dtype="boolean")
+    out[~notnull] = pd.NA
+    return out
+
+
+# -- convenience wrappers ----------------------------------------------------
+
+def lat_lon_to_cell_id(lat: Column, lon: Column, level: Column | int = 30) -> Column:
+    lvl = F.lit(level) if isinstance(level, int) else level
+    return s2_lat_lon_to_cell_id(lat, lon, lvl.cast("int"))
+
+
+def cell_id_to_lat_lon(cid: Column) -> Column:
+    return s2_cell_id_to_lat_lon(cid)
+
+
+def neighbor_cell_ids(cid: Column, edge: bool = True, corner: bool = False) -> Column:
+    return s2_neighbor_cell_ids(cid, F.lit(edge), F.lit(corner))
+
+
+def register_sql_functions(spark) -> None:
+    """Register the UDF surface for ``spark.sql`` use."""
+    spark.udf.register("s2_lat_lon_to_cell_id", s2_lat_lon_to_cell_id)
+    spark.udf.register("s2_cell_id_to_lat_lon", s2_cell_id_to_lat_lon)
+    spark.udf.register("s2_token_to_cell_id", s2_token_to_cell_id)
+    spark.udf.register("s2_cell_id_to_token", s2_cell_id_to_token)
+    spark.udf.register("s2_cell_id_to_level", s2_cell_id_to_level)
+    spark.udf.register("s2_neighbor_cell_ids", s2_neighbor_cell_ids)
+    spark.udf.register("s2_cell_id_is_valid", s2_cell_id_is_valid)

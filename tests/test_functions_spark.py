@@ -1,0 +1,172 @@
+"""t2 — the Spark function surface (native exprs + pandas UDFs) against the
+reference corpora, loaded through DataFrames. Sampled to keep CI fast; the
+full-corpus pass runs in t1 on the raw kernels.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from s2cell_spark import functions as S2F
+
+N_SAMPLE = 8000
+
+
+@pytest.fixture(scope="module")
+def corpus_df(spark, encode_corpus):
+    lat, lon, level, cell_id, token = encode_corpus
+    rng = np.random.default_rng(42)
+    idx = rng.choice(len(lat), N_SAMPLE, replace=False)
+    pdf = pd.DataFrame(
+        {
+            "lat": lat[idx],
+            "lon": lon[idx],
+            "level": level[idx].astype(np.int32),
+            "cell_id": cell_id[idx].view(np.int64),
+            "token": token[idx],
+        }
+    )
+    return spark.createDataFrame(pdf).cache(), pdf
+
+
+def test_encode_udf_matches_corpus(corpus_df):
+    df, pdf = corpus_df
+    out = (
+        df.withColumn("got", S2F.lat_lon_to_cell_id(F.col("lat"), F.col("lon"), F.col("level")))
+        .select("cell_id", "got")
+        .toPandas()
+    )
+    assert (out["got"] == out["cell_id"]).all()
+
+
+def test_token_expr_matches_corpus(corpus_df):
+    df, pdf = corpus_df
+    out = df.select(
+        "token",
+        S2F.cell_id_to_token(F.col("cell_id")).alias("tok_expr"),
+        S2F.token_to_cell_id(F.col("token")).alias("cid_expr"),
+        "cell_id",
+    ).toPandas()
+    assert (out["tok_expr"] == out["token"]).all()
+    assert (out["cid_expr"] == out["cell_id"]).all()
+
+
+def test_level_parent_validity_exprs(corpus_df, ref_s2cell):
+    df, pdf = corpus_df
+    out = df.select(
+        "cell_id",
+        "level",
+        S2F.cell_id_to_level(F.col("cell_id")).alias("lvl_expr"),
+        S2F.cell_id_is_valid(F.col("cell_id")).alias("valid"),
+        S2F.cell_id_to_parent_cell_id(F.col("cell_id"), 3).alias("parent3"),
+        S2F.cell_id_range_min(F.col("cell_id")).alias("rmin"),
+        S2F.cell_id_range_max(F.col("cell_id")).alias("rmax"),
+        S2F.cell_id_sortable(F.col("cell_id")).alias("sortable"),
+    ).toPandas()
+    assert (out["lvl_expr"] == out["level"]).all()
+    assert out["valid"].all()
+    has3 = out["level"] >= 3
+    # parent-3 vs reference on the rows that have a level-3 ancestor
+    sub = out[has3]
+    ref_parent = [
+        ref_s2cell.cell_id_to_parent_cell_id(int(np.int64(c).astype(np.uint64)), 3)
+        for c in sub["cell_id"]
+    ]
+    got_parent = [int(np.int64(c).astype(np.uint64)) for c in sub["parent3"]]
+    assert got_parent == ref_parent
+    assert out.loc[~has3, "parent3"].isna().all()
+    # range containment: rmin <= id <= rmax in uint64 (=> sortable order)
+    u = out["cell_id"].to_numpy(np.int64).view(np.uint64)
+    lo = out["rmin"].to_numpy(np.int64).view(np.uint64)
+    hi = out["rmax"].to_numpy(np.int64).view(np.uint64)
+    assert ((lo <= u) & (u <= hi)).all()
+    # sortable preserves uint64 order
+    srt = out["sortable"].to_numpy(np.int64)
+    order_u = np.argsort(u, kind="stable")
+    order_s = np.argsort(srt, kind="stable")
+    assert (order_u == order_s).all()
+
+
+def test_decode_udf_tolerance(spark, decode_corpus):
+    cell_id, token, lat, lon, level = decode_corpus
+    rng = np.random.default_rng(5)
+    idx = rng.choice(len(cell_id), 4000, replace=False)
+    pdf = pd.DataFrame(
+        {
+            "cell_id": cell_id[idx].view(np.int64),
+            "lat": lat[idx],
+            "lon": lon[idx],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    out = (
+        df.withColumn("ll", S2F.cell_id_to_lat_lon(F.col("cell_id")))
+        .select("lat", "lon", F.col("ll.lat").alias("glat"), F.col("ll.lon").alias("glon"))
+        .toPandas()
+    )
+    np.testing.assert_allclose(out["glat"], out["lat"], rtol=0, atol=1e-12)
+    np.testing.assert_allclose(out["glon"], out["lon"], rtol=0, atol=1e-12)
+
+
+def test_null_and_invalid_conventions(spark):
+    pdf = pd.DataFrame(
+        {
+            # face-6 id (6<<61|1) expressed as the int64 two's-complement value
+            "cell_id": pd.array([1, 0, (6 << 61 | 1) - (1 << 64), None, 2], dtype="Int64"),
+            "tok": ["3", "zzz", None, "X", "12345678901234567"],
+            "lat": [45.0, None, 91.0, 10.0, 10.0],
+            "lon": [9.0, 3.0, 3.0, None, 10.0],
+            "level": pd.array([12, 12, 12, 12, 99], dtype="Int32"),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    out = df.select(
+        S2F.s2_cell_id_to_level(F.col("cell_id")).alias("lvl"),
+        S2F.cell_id_to_level(F.col("cell_id")).alias("lvl_expr"),
+        S2F.s2_token_to_cell_id(F.col("tok")).alias("tok_cid"),
+        S2F.token_to_cell_id(F.col("tok")).alias("tok_cid_expr"),
+        S2F.lat_lon_to_cell_id(F.col("lat"), F.col("lon"), F.col("level")).alias("enc"),
+        S2F.cell_id_to_lat_lon(F.col("cell_id")).alias("ll"),
+    ).toPandas()
+    # cell_id 1 is a valid leaf; 0, face-6 and null are not; 2 has odd lsb
+    assert out["lvl"].iloc[0] == 30 and pd.isna(out["lvl"]).tolist() == [False] + [True] * 4
+    assert out["lvl_expr"].iloc[0] == 30 and pd.isna(out["lvl_expr"]).tolist() == [False] + [True] * 4
+    # token 'zzz' malformed, 'X' -> 0, 17-char -> null; both impls agree
+    assert pd.isna(out["tok_cid"]).tolist() == [False, True, True, False, True]
+    assert pd.isna(out["tok_cid_expr"]).tolist() == [False, True, True, False, True]
+    assert out["tok_cid"].iloc[3] == 0 and out["tok_cid_expr"].iloc[3] == 0
+    # encode: null lat / null lon / level 99 -> null
+    assert pd.isna(out["enc"]).tolist() == [False, True, False, True, True]
+    # decode struct: invalid ids -> null members
+    assert pd.isna(out["ll"].iloc[1]["lat"]) and pd.isna(out["ll"].iloc[2]["lat"])
+
+
+def test_neighbors_udf_vs_reference(spark, ref_s2cell):
+    rng = np.random.default_rng(31)
+    lat = rng.uniform(-90, 90, 200)
+    lon = rng.uniform(-180, 180, 200)
+    from s2cell_spark import kernels as K
+
+    ids = K.lat_lon_to_cell_id(lat, lon, rng.integers(0, 31, 200))
+    pdf = pd.DataFrame({"cell_id": ids.view(np.int64)})
+    df = spark.createDataFrame(pdf)
+    out = df.select(
+        "cell_id", S2F.neighbor_cell_ids(F.col("cell_id"), edge=True, corner=True).alias("nbrs")
+    ).toPandas()
+    for cid, nbrs in zip(out["cell_id"], out["nbrs"]):
+        want = ref_s2cell.cell_id_to_neighbor_cell_ids(
+            int(np.int64(cid).astype(np.uint64)), edge=True, corner=True
+        )
+        assert [int(np.int64(x).astype(np.uint64)) for x in nbrs] == want
+
+
+def test_sql_registration(spark):
+    S2F.register_sql_functions(spark)
+    row = spark.sql(
+        "SELECT s2_cell_id_to_token(s2_lat_lon_to_cell_id(45.0D, 9.0D, 12)) AS tok"
+    ).collect()[0]
+    # expectation generated from the reference: s2cell.lat_lon_to_token(45, 9, 12)
+    assert row["tok"] == "47873ef"
