@@ -1,0 +1,180 @@
+"""S2 cell coverings of lat/lon rectangles (driver-side, numpy).
+
+The reference library has no region coverer; this is an ENGINE component
+(SURVEY.md §2.2) built on the §2.1 kernels. It produces, for a query
+rectangle, a set of cells (mixed levels) whose union is a SUPERSET of the
+rectangle — the candidate-pruning stage of the containment joins. The
+subsequent exact test removes false positives, so only the superset
+property matters for correctness; tightness only affects pruning quality.
+
+Algorithm: BFS from the 6 face cells. Each candidate cell gets a
+CONSERVATIVE lat/lon bounding box (boundary samples in ST space, padded by
+a bound on the inter-sample bulge; pole-containing and antimeridian-
+spanning cells widen to full longitude). Then
+  bbox disjoint from rect  -> prune (safe: bbox ⊇ cell),
+  bbox inside rect         -> emit at this level (cell ⊆ bbox ⊆ rect),
+  at max_level             -> emit,
+  otherwise                -> recurse into the 4 children.
+Any point of the rect lies in exactly one level-`max_level` cell, whose
+ancestor chain always intersects the rect, so some ancestor is emitted:
+superset guaranteed.
+
+Runs on the driver: coverings are tiny (hundreds of cells) next to the
+pages table; they broadcast into the join.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from s2cell_spark import kernels as K
+
+U64 = np.uint64
+_EDGE_SAMPLES = 17  # boundary samples per cell edge
+
+
+def _cell_st_rect(ids: np.ndarray):
+    """(face, s_lo, s_hi, t_lo, t_hi) of each cell in ST space."""
+    face, i, j = K.cell_id_to_face_ij(ids)
+    level = K.cell_id_to_level(ids).astype(np.int64)
+    size = (np.uint64(1) << (np.uint64(30) - level.astype(np.uint64)))
+    i0 = i & ~(size - np.uint64(1))
+    j0 = j & ~(size - np.uint64(1))
+    inv = 1.0 / K.MAX_SIZE
+    s_lo = i0.astype(np.float64) * inv
+    s_hi = (i0 + size).astype(np.float64) * inv
+    t_lo = j0.astype(np.float64) * inv
+    t_hi = (j0 + size).astype(np.float64) * inv
+    return face, level, s_lo, s_hi, t_lo, t_hi
+
+
+def cell_latlng_bbox(ids: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Conservative (lat_lo, lat_hi, lon_lo, lon_hi, lon_full) per cell.
+
+    ``lon_full`` flags cells whose longitude extent is taken as the whole
+    [-180, 180] (pole-containing, antimeridian-spanning, or near-polar).
+    """
+    n = ids.shape[0]
+    face, level, s_lo, s_hi, t_lo, t_hi = _cell_st_rect(ids)
+
+    w = np.linspace(0.0, 1.0, _EDGE_SAMPLES)
+    # 4 edges x m samples -> (n, 4m) ST boundary points
+    s_mid = s_lo[:, None] + w[None, :] * (s_hi - s_lo)[:, None]
+    t_mid = t_lo[:, None] + w[None, :] * (t_hi - t_lo)[:, None]
+    s_pts = np.concatenate(
+        [s_mid, s_mid, np.broadcast_to(s_lo[:, None], s_mid.shape), np.broadcast_to(s_hi[:, None], s_mid.shape)],
+        axis=1,
+    )
+    t_pts = np.concatenate(
+        [np.broadcast_to(t_lo[:, None], t_mid.shape), np.broadcast_to(t_hi[:, None], t_mid.shape), t_mid, t_mid],
+        axis=1,
+    )
+    m = s_pts.shape[1]
+    face_r = np.repeat(face, m)
+    u = K.st_to_uv(s_pts.ravel())
+    v = K.st_to_uv(t_pts.ravel())
+    x, y, z = K.face_uv_to_xyz(face_r, u, v)
+    lat = np.degrees(np.arctan2(z, np.sqrt(x**2 + y**2))).reshape(n, m)
+    lon = np.degrees(np.arctan2(y, x)).reshape(n, m)
+
+    # Inter-sample bulge bound: cell edges are great-circle arcs; between
+    # adjacent samples the latitude can deviate from the sampled extrema by
+    # at most the sample spacing along the arc. Edge arc length at level l
+    # is <= 180/2^l degrees (level-0 face edges are 90° arcs; generous 2x).
+    pad = (180.0 / np.power(2.0, level)) / (_EDGE_SAMPLES - 1)
+    lat_lo = np.maximum(-90.0, lat.min(axis=1) - pad)
+    lat_hi = np.minimum(90.0, lat.max(axis=1) + pad)
+
+    # Pole containment: poles sit at ST (0.5, 0.5) of faces 2 (N) and 5 (S).
+    has_center = (s_lo <= 0.5) & (0.5 <= s_hi) & (t_lo <= 0.5) & (0.5 <= t_hi)
+    north_pole = (face == 2) & has_center
+    south_pole = (face == 5) & has_center
+    lat_hi = np.where(north_pole, 90.0, lat_hi)
+    lat_lo = np.where(south_pole, -90.0, lat_lo)
+
+    lon_lo = lon.min(axis=1)
+    lon_hi = lon.max(axis=1)
+    # Longitude pad grows with latitude (meridians converge).
+    max_abs_lat = np.minimum(89.0, np.maximum(np.abs(lat_lo), np.abs(lat_hi)))
+    lon_pad = pad / np.cos(np.radians(max_abs_lat))
+    lon_lo = lon_lo - lon_pad
+    lon_hi = lon_hi + lon_pad
+    lon_full = (
+        north_pole
+        | south_pole
+        | ((lon.max(axis=1) - lon.min(axis=1)) > 180.0)  # antimeridian span
+        | (np.maximum(np.abs(lat_lo), np.abs(lat_hi)) >= 89.0)
+    )
+    return lat_lo, lat_hi, lon_lo, lon_hi, lon_full
+
+
+def _children(ids: np.ndarray) -> np.ndarray:
+    """The 4 children of each cell: ``id + (2k-3) * (lsb >> 2)``."""
+    lsb = ids & (~ids + np.uint64(1))
+    child_lsb = lsb >> np.uint64(2)
+    deltas = np.array([-3, -1, 1, 3], dtype=np.int64)
+    return (
+        ids[:, None].view(np.int64) + deltas[None, :] * child_lsb[:, None].view(np.int64)
+    ).ravel().view(np.uint64)
+
+
+def latlng_rect_covering(
+    lat_lo: float,
+    lat_hi: float,
+    lon_lo: float,
+    lon_hi: float,
+    max_level: int = 10,
+    min_emit_level: int | None = None,
+) -> np.ndarray:
+    """Cells (uint64, mixed levels) whose union covers the rectangle.
+
+    ``min_emit_level`` forces fully-inside cells to keep subdividing until
+    at least that level — used by the single-level equi-join normalization
+    to bound the descendant expansion factor to 4^(max_level-min_emit_level).
+    """
+    if min_emit_level is None:
+        min_emit_level = max(0, max_level - 4)
+    frontier = (np.arange(6, dtype=np.uint64) << np.uint64(61)) | (
+        np.uint64(1) << np.uint64(60)
+    )
+    out: list[np.ndarray] = []
+    for level in range(0, max_level + 1):
+        if frontier.size == 0:
+            break
+        c_lat_lo, c_lat_hi, c_lon_lo, c_lon_hi, c_lon_full = cell_latlng_bbox(frontier)
+        lat_disjoint = (c_lat_hi < lat_lo) | (c_lat_lo > lat_hi)
+        lon_disjoint = (~c_lon_full) & ((c_lon_hi < lon_lo) | (c_lon_lo > lon_hi))
+        keep = ~(lat_disjoint | lon_disjoint)
+        inside = (
+            keep
+            & (~c_lon_full)
+            & (c_lat_lo >= lat_lo)
+            & (c_lat_hi <= lat_hi)
+            & (c_lon_lo >= lon_lo)
+            & (c_lon_hi <= lon_hi)
+        )
+        emit = keep & ((inside & (level >= min_emit_level)) | (level == max_level))
+        if emit.any():
+            out.append(frontier[emit])
+        expand = keep & ~emit
+        frontier = _children(frontier[expand]) if expand.any() else np.empty(0, dtype=np.uint64)
+    return np.concatenate(out) if out else np.empty(0, dtype=np.uint64)
+
+
+def covering_to_level(ids: np.ndarray, level: int) -> np.ndarray:
+    """Normalize a mixed-level covering to single-level `level` cells by
+    expanding descendants (cells already at `level` or deeper pass through
+    as their `level` ancestor). Deduplicated."""
+    lvls = K.cell_id_to_level(ids).astype(np.int64)
+    out = []
+    shallow = ids[lvls < level]
+    deep = ids[lvls >= level]
+    if deep.size:
+        out.append(K.cell_id_to_parent_cell_id(deep, level))
+    lsb_l = np.uint64(1) << np.uint64(2 * (30 - level))
+    step = lsb_l << np.uint64(1)
+    for cid in shallow:
+        first = (K.cell_id_range_min(np.array([cid], dtype=np.uint64))[0] & ~(lsb_l - np.uint64(1))) | lsb_l
+        count = 4 ** (level - int(K.cell_id_to_level(np.array([cid], dtype=np.uint64))[0]))
+        out.append(first + step * np.arange(count, dtype=np.uint64))
+    return np.unique(np.concatenate(out)) if out else np.empty(0, dtype=np.uint64)

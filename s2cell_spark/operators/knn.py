@@ -1,0 +1,162 @@
+"""k-nearest-pages search via expanding S2 cell rings (ENGINE, SURVEY §2.2).
+
+Two phases, both provably correct without relying on cell-size metric
+constants:
+
+1. **Ring expansion** (candidate gathering): each query starts at its
+   level-L cell; ring r adds the edge+corner neighbors of ring r-1 (kernel
+   #17). Pages equi-join rings on ``parent(page_cell, L)`` — a broadcast
+   hash join per round — until every query holds >= k candidates. The
+   driver loop only ever collects per-query COUNTS (tiny aggregates).
+2. **Radius verification**: take each query's kth-smallest candidate
+   distance d_k, cover the great-circle cap of radius d_k with a lat/lon
+   bbox (meridian-convergence-aware), run the rectangle containment join,
+   and re-rank with an exact haversine + window top-k. Any true neighbor
+   lies within d_k of the query, hence inside the cap, hence in the
+   covering — so the final top-k is exact even if phase 1's rings were too
+   coarse.
+
+Distances use the haversine great-circle formula on a unit sphere
+(returned in degrees of arc) — matching the DuckDB oracle expression
+symbol-for-symbol so rank ordering agrees bit-for-bit on float64.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from s2cell_spark import functions as S2F
+from s2cell_spark import kernels as K
+
+
+def haversine_deg(lat1, lon1, lat2, lon2):
+    """Great-circle distance in DEGREES of arc, as a native Column expr.
+
+    2*asin(sqrt(sin²(Δφ/2) + cosφ1·cosφ2·sin²(Δλ/2))) — identical formula
+    text is embedded in the oracle SQL; keep in lockstep."""
+    sp = F.sin(F.radians(lat2 - lat1) / F.lit(2.0))
+    sl = F.sin(F.radians(lon2 - lon1) / F.lit(2.0))
+    a = sp * sp + F.cos(F.radians(lat1)) * F.cos(F.radians(lat2)) * sl * sl
+    return F.degrees(F.lit(2.0) * F.asin(F.sqrt(a)))
+
+
+def _ring_cells(queries: list[tuple[int, float, float]], level: int, n_rings: int):
+    """(query_id, ring_cell_id) pairs for rings 0..n_rings, driver-side."""
+    qids = np.array([q[0] for q in queries], dtype=np.int64)
+    lat = np.array([q[1] for q in queries])
+    lon = np.array([q[2] for q in queries])
+    center = K.lat_lon_to_cell_id(lat, lon, level)
+    rows: set[tuple[int, int]] = set()
+    per_query: list[set[int]] = []
+    for qi, c in enumerate(center):
+        seen = {int(c)}
+        frontier = {int(c)}
+        for _ in range(n_rings):
+            cells = np.array(sorted(frontier), dtype=np.uint64)
+            grid, valid, _ = K.cell_id_to_neighbor_cell_ids_grid(cells)
+            nxt = set(int(x) for x in grid[valid]) - seen
+            seen |= nxt
+            frontier = nxt
+        per_query.append(seen)
+        rows |= {(int(qids[qi]), s) for s in seen}
+    return rows
+
+
+def knn(
+    pages: DataFrame,
+    spark: SparkSession,
+    queries: list[tuple[int, float, float]],
+    k: int,
+    level: int = 4,
+    cell_col: str = "cell_id",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact k nearest pages per query point.
+
+    Returns (query_id, doc_id, dist_deg, rank) with rank 1..k ordered by
+    (distance, doc_id). `level` tunes ring granularity only — correctness
+    never depends on it thanks to the phase-2 radius verification.
+    """
+    q_df = spark.createDataFrame(
+        [(int(q), float(a), float(o)) for q, a, o in queries],
+        "query_id long, q_lat double, q_lon double",
+    )
+
+    # ---- phase 1: expand rings until every query has >= k candidates ----
+    n_rings = 1
+    while True:
+        ring_rows = _ring_cells(queries, level, n_rings)
+        rings_df = spark.createDataFrame(
+            sorted(
+                (qid, int(np.uint64(c).astype(np.int64)) if c < 2**63 else int(c - 2**64), level)
+                for qid, c in ring_rows
+            ),
+            "query_id long, ring_cell long, lvl int",
+        )
+        key = S2F.cell_id_to_parent_cell_id(F.col(cell_col), level)
+        cand = pages.join(
+            F.broadcast(rings_df), on=key == F.col("ring_cell"), how="inner"
+        )
+        counts = {
+            r["query_id"]: r["n"]
+            for r in cand.groupBy("query_id").agg(F.count("*").alias("n")).collect()
+        }
+        if all(counts.get(q[0], 0) >= k for q in queries):
+            break
+        if n_rings > 24:  # ring set has swallowed the globe; fall through
+            cand = pages.crossJoin(F.broadcast(q_df.select("query_id")))
+            break
+        n_rings *= 2
+
+    # ---- phase 2: verified-radius re-query --------------------------------
+    dist = haversine_deg(F.col("q_lat"), F.col("q_lon"), F.col("lat"), F.col("lon"))
+    cand = cand.join(F.broadcast(q_df), on="query_id").withColumn("dist_deg", dist)
+    w = Window.partitionBy("query_id").orderBy(F.col("dist_deg"), F.col(id_col))
+    dk = (
+        cand.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == k)
+        .select("query_id", F.col("dist_deg").alias("d_k"))
+        .collect()
+    )
+    d_k = {r["query_id"]: r["d_k"] for r in dk}
+
+    # cap -> conservative lat/lon bbox; meridians converge by 1/cos(lat)
+    verify_rows = []
+    for qid, qlat, qlon in queries:
+        r = d_k.get(qid)
+        if r is None:
+            # fewer than k pages exist globally; keep everything
+            verify_rows.append((qid, -90.0, 90.0, -180.0, 180.0))
+            continue
+        r_pad = r * 1.0000001 + 1e-9
+        lat_lo, lat_hi = qlat - r_pad, qlat + r_pad
+        max_abs = min(89.9999, max(abs(lat_lo), abs(lat_hi)))
+        if lat_lo <= -89.0 or lat_hi >= 89.0:
+            lon_lo, lon_hi = -180.0, 180.0
+        else:
+            dl = r_pad / math.cos(math.radians(max_abs))
+            lon_lo, lon_hi = qlon - dl, qlon + dl
+        if lon_lo < -180.0 or lon_hi > 180.0:
+            lon_lo, lon_hi = -180.0, 180.0
+        verify_rows.append((qid, max(-90.0, lat_lo), min(90.0, lat_hi), lon_lo, lon_hi))
+
+    boxes = spark.createDataFrame(
+        verify_rows, "query_id long, lat_lo double, lat_hi double, lon_lo double, lon_hi double"
+    ).join(q_df, on="query_id")
+    final = pages.join(
+        F.broadcast(boxes),
+        on=(F.col("lat") >= F.col("lat_lo"))
+        & (F.col("lat") <= F.col("lat_hi"))
+        & (F.col("lon") >= F.col("lon_lo"))
+        & (F.col("lon") <= F.col("lon_hi")),
+        how="inner",
+    ).withColumn("dist_deg", dist)
+    return (
+        final.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "dist_deg", "rank")
+    )

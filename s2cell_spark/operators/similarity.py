@@ -1,0 +1,218 @@
+"""Embedding similarity search (ENGINE; training-data pipeline surface).
+
+* :func:`cosine_topk_bruteforce` — exact top-k cosine neighbors for a
+  (small, broadcast) query set against the full embeddings table. The dot
+  products run in one Arrow-batched pandas UDF as a single numpy matmul
+  per batch (queries broadcast in the closure) — the right baseline and
+  exactly what the oracle can check.
+* :func:`cosine_near_dup_pairs` — all pairs above a cosine threshold via
+  sign-random-projection LSH bucketing (the scale path: equi-join on
+  bucket), verified exactly; probabilistic recall, tested with tolerance.
+* :func:`ivf_topk` — IVF-style two-stage ANN: k-means-ish centroid
+  assignment (deterministic seeded centroids), probe the nprobe closest
+  lists only. Approximate; exposed rows-only.
+
+Embeddings are ``array<float/double>`` columns; at 100 TB the embeddings
+table is bucketed by LSH/IVF cell so candidate generation is an equi-join,
+never a cross join.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, DoubleType, LongType, StructField, StructType
+
+
+def _to_matrix(col: pd.Series) -> np.ndarray:
+    return np.vstack([np.asarray(v, dtype=np.float64) for v in col])
+
+
+def cosine_topk_bruteforce(
+    embeddings: DataFrame,
+    queries: list[tuple[int, list[float]]],
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query vector.
+
+    Output: (query_id, vec_id, rank), rank by (-cosine, vec_id). One scan,
+    one numpy matmul per Arrow batch, then a global per-query top-k window
+    over (n_queries x batch_topk) partial results.
+    """
+    q_ids = np.array([q[0] for q in queries], dtype=np.int64)
+    q_mat = np.vstack([np.asarray(q[1], dtype=np.float64) for q in queries])
+    q_norm = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+
+    out_schema = StructType(
+        [
+            StructField("query_id", LongType()),
+            StructField("vec_id", LongType()),
+            StructField("cosine", DoubleType()),
+        ]
+    )
+
+    def score(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = _to_matrix(pdf[vec_col])
+            mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+            sims = q_norm @ mat.T  # (nq, batch)
+            nq, nb = sims.shape
+            ids = pdf[id_col].to_numpy(np.int64)
+            res = pd.DataFrame(
+                {
+                    "query_id": np.repeat(q_ids, nb),
+                    "vec_id": np.tile(ids, nq),
+                    "cosine": sims.ravel(),
+                }
+            )
+            if exclude_self:
+                res = res[res["query_id"] != res["vec_id"]]
+            # keep only the per-batch top-k per query — bounds shuffle size
+            res = (
+                res.sort_values(["query_id", "cosine", "vec_id"], ascending=[True, False, True])
+                .groupby("query_id")
+                .head(k)
+            )
+            yield res
+
+    partial = embeddings.select(id_col, vec_col).mapInPandas(score, out_schema)
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "rank")
+    )
+
+
+def srp_bucket_udf(dim: int, n_bits: int = 16, seed: int = 23):
+    """Sign-random-projection bucket id (n_bits-bit) pandas UDF."""
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_bits, dim))
+
+    @F.pandas_udf(LongType())
+    def bucket(vec: pd.Series) -> pd.Series:
+        mat = _to_matrix(vec)
+        signs = (planes @ mat.T) > 0  # (n_bits, n)
+        weights = (1 << np.arange(n_bits, dtype=np.int64))[:, None]
+        return pd.Series((signs * weights).sum(axis=0).astype(np.int64))
+
+    return bucket
+
+
+def cosine_near_dup_pairs(
+    embeddings: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    n_bits: int = 12,
+    n_tables: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Pairs (a < b) with cosine >= threshold, candidates from `n_tables`
+    independent SRP hash tables (equi-join per bucket), verified exactly."""
+    tables = []
+    for t in range(n_tables):
+        bkt = srp_bucket_udf(dim, n_bits, seed=23 + t)
+        tables.append(
+            embeddings.select(
+                F.col(id_col).alias("doc"),
+                F.col(vec_col).alias("v"),
+                F.lit(t).alias("tbl"),
+                bkt(F.col(vec_col)).alias("bucket"),
+            )
+        )
+    banded = tables[0]
+    for t in tables[1:]:
+        banded = banded.unionByName(t)
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(b, on=["tbl", "bucket"])
+        .filter(F.col("a.doc") < F.col("b.doc"))
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.col("a.v").alias("v_a"),
+            F.col("b.v").alias("v_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    dot = F.aggregate(
+        F.zip_with("v_a", "v_b", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(
+        F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x)
+    )  # noqa: E731
+    return (
+        cand.withColumn("cosine", dot / (norm(F.col("v_a")) * norm(F.col("v_b"))))
+        .filter(F.col("cosine") >= threshold)
+        .select("doc_a", "doc_b", "cosine")
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: list[tuple[int, list[float]]],
+    k: int,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    seed: int = 31,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN: assign vectors to their nearest of `n_cells` seeded random
+    unit centroids (one pass), then search only each query's `nprobe`
+    closest cells. Approximate by design; recall grows with nprobe."""
+    first = embeddings.select(vec_col).first()
+    dim = len(first[0])
+    rng = np.random.default_rng(seed)
+    cents = rng.standard_normal((n_cells, dim))
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+
+    @F.pandas_udf(LongType())
+    def assign(vec: pd.Series) -> pd.Series:
+        mat = _to_matrix(vec)
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        return pd.Series(np.argmax(cents @ mat.T, axis=0).astype(np.int64))
+
+    assigned = embeddings.withColumn("ivf_cell", assign(F.col(vec_col)))
+    q_ids = [q[0] for q in queries]
+    q_mat = np.vstack([np.asarray(q[1], dtype=np.float64) for q in queries])
+    qn = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+    probes = np.argsort(-(qn @ cents.T), axis=1)[:, :nprobe]
+    probe_rows = [
+        (int(qid), int(cell)) for qid, row in zip(q_ids, probes) for cell in row
+    ]
+    probe_df = F.broadcast(
+        assigned.sparkSession.createDataFrame(probe_rows, "query_id long, ivf_cell long")
+    )
+    cand = assigned.join(probe_df, on="ivf_cell")
+    q_vec_df = F.broadcast(
+        assigned.sparkSession.createDataFrame(
+            [(int(qid), [float(x) for x in vec]) for qid, vec in queries],
+            "query_id long, q_vec array<double>",
+        )
+    )
+    # exact cosine on the probed candidates only — native zip_with/aggregate
+    scored = cand.join(q_vec_df, on="query_id").filter(F.col(id_col) != F.col("query_id"))
+    dvec = F.transform(vec_col, lambda x: x.cast("double"))
+    dot = F.aggregate(
+        F.zip_with(dvec, "q_vec", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
+    nrm = lambda c: F.sqrt(F.aggregate(c, F.lit(0.0), lambda a, x: a + x * x))  # noqa: E731
+    scored = scored.withColumn("cosine", dot / (nrm(dvec) * nrm(F.col("q_vec"))))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col(id_col).alias("vec_id"), "rank")
+    )
