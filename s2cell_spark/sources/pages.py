@@ -26,20 +26,23 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 # City anchor points (lat, lon): NYC, London, Tokyo, Cape Town, Paris,
-# Mexico City, San Francisco, São Paulo.
-_CITY_LAT = "CASE doc_id % 8 WHEN 0 THEN 40.7 WHEN 1 THEN 51.5 WHEN 2 THEN 35.7 WHEN 3 THEN -33.9 WHEN 4 THEN 48.9 WHEN 5 THEN 19.4 WHEN 6 THEN 37.8 ELSE -23.5 END"
-_CITY_LON = "CASE doc_id % 8 WHEN 0 THEN -74.0 WHEN 1 THEN -0.1 WHEN 2 THEN 139.7 WHEN 3 THEN 18.4 WHEN 4 THEN 2.4 WHEN 5 THEN -99.1 WHEN 6 THEN -122.4 ELSE -46.6 END"
+# Mexico City, San Francisco, São Paulo. NB every float literal carries an
+# ``e0`` exponent: bare ``40.7`` parses as DECIMAL in BOTH Spark SQL and
+# DuckDB, and decimal arithmetic semantics differ between them — ``40.7e0``
+# is a DOUBLE literal in both.
+_CITY_LAT = "CASE doc_id % 8 WHEN 0 THEN 40.7e0 WHEN 1 THEN 51.5e0 WHEN 2 THEN 35.7e0 WHEN 3 THEN -33.9e0 WHEN 4 THEN 48.9e0 WHEN 5 THEN 19.4e0 WHEN 6 THEN 37.8e0 ELSE -23.5e0 END"
+_CITY_LON = "CASE doc_id % 8 WHEN 0 THEN -74.0e0 WHEN 1 THEN -0.1e0 WHEN 2 THEN 139.7e0 WHEN 3 THEN 18.4e0 WHEN 4 THEN 2.4e0 WHEN 5 THEN -99.1e0 WHEN 6 THEN -122.4e0 ELSE -46.6e0 END"
 
 _H1 = "(doc_id * 2654435761 + 40503)"
 _H2 = "(doc_id * 1597334677 + 57559)"
 
 LAT_SQL = (
-    f"(CASE WHEN doc_id % 5 < 2 THEN ({_CITY_LAT}) + ({_H1} % 2001) / 1000.0 - 1.0 "
-    f"ELSE ({_H1} % 160001) / 1000.0 - 80.0 END)"
+    f"(CASE WHEN doc_id % 5 < 2 THEN ({_CITY_LAT}) + ({_H1} % 2001) / 1000.0e0 - 1.0e0 "
+    f"ELSE ({_H1} % 160001) / 1000.0e0 - 80.0e0 END)"
 )
 LON_SQL = (
-    f"(CASE WHEN doc_id % 5 < 2 THEN ({_CITY_LON}) + ({_H2} % 2001) / 1000.0 - 1.0 "
-    f"ELSE ({_H2} % 360001) / 1000.0 - 180.0 END)"
+    f"(CASE WHEN doc_id % 5 < 2 THEN ({_CITY_LON}) + ({_H2} % 2001) / 1000.0e0 - 1.0e0 "
+    f"ELSE ({_H2} % 360001) / 1000.0e0 - 180.0e0 END)"
 )
 URL_SQL = "concat('https://example.org/page/', cast(doc_id as string))"
 

@@ -1,0 +1,225 @@
+"""Operator-level tests: salting identity, polygon PIP vs numpy oracle,
+covering superset property, MinHash recall, checkpoint resume (t4),
+streaming-vs-batch equivalence, multimodal determinism."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from s2cell_spark import kernels as K
+from s2cell_spark.operators import containment as CJ
+from s2cell_spark.operators import covering as COV
+from s2cell_spark.sources.pages import load_pages, with_cell_id
+from tests.conftest import SF_CORRECT, SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    return with_cell_id(load_pages(spark, SF_CORRECT)).cache()
+
+
+def _regions():
+    return {
+        0: COV.latlng_rect_covering(39.7, 41.7, -75.0, -73.0, max_level=10, min_emit_level=6),
+        1: COV.latlng_rect_covering(-10.0, 10.0, 0.0, 20.0, max_level=10, min_emit_level=6),
+    }
+
+
+def test_salted_join_row_identical(spark, pages):
+    """Hot-cell salting must not change the join output (SURVEY §7)."""
+    regions = _regions()
+    plain = CJ.containment_join_equi(pages, spark, regions, level=10)
+    salted = CJ.containment_join_salted(pages, spark, regions, level=10, num_salts=8)
+    a = {(r["region_id"], r["doc_id"]) for r in plain.select("region_id", "doc_id").collect()}
+    b = {(r["region_id"], r["doc_id"]) for r in salted.select("region_id", "doc_id").collect()}
+    assert a == b and len(a) > 0
+
+
+def test_salted_join_pathological_single_cell(spark):
+    """All rows in ONE covering cell (the worst skew case): salted output
+    still identical to unsalted."""
+    pdf = pd.DataFrame(
+        {
+            "doc_id": np.arange(500),
+            "url": [f"u{i}" for i in range(500)],
+            "lat": np.full(500, 40.7128) + np.arange(500) * 1e-7,
+            "lon": np.full(500, -74.006),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    from s2cell_spark import functions as S2F
+
+    df = df.withColumn("cell_id", S2F.lat_lon_to_cell_id(F.col("lat"), F.col("lon"), 30))
+    regions = {7: COV.latlng_rect_covering(40.0, 41.0, -75.0, -73.0, max_level=8)}
+    plain = CJ.containment_join_equi(df, spark, regions, level=8)
+    salted = CJ.containment_join_salted(df, spark, regions, level=8, num_salts=16)
+    assert plain.count() == 500 and salted.count() == 500
+
+
+def test_range_join_matches_equi(spark, pages):
+    """Mixed-level range join == single-level equi join output."""
+    regions = _regions()
+    equi = CJ.containment_join_equi(pages, spark, regions, level=10)
+    rng = CJ.containment_join_range(pages, regions)
+    a = {(r["region_id"], r["doc_id"]) for r in equi.select("region_id", "doc_id").collect()}
+    b = {(r["region_id"], r["doc_id"]) for r in rng.select("region_id", "doc_id").collect()}
+    assert a == b
+
+
+def test_polygon_pip_vs_numpy_oracle(spark, pages):
+    """Triangle PIP through covering join + ray-cast UDF vs a brute-force
+    numpy ray-cast over ALL pages."""
+    tri = np.array([[40.0, -75.0], [42.5, -74.0], [40.0, -72.0]])
+    cov = COV.latlng_rect_covering(40.0, 42.5, -75.0, -72.0, max_level=10, min_emit_level=6)
+    cand = CJ.containment_join_equi(pages, spark, {0: cov}, level=10)
+    pip = CJ.point_in_polygon_udf([tri])
+    got = {
+        r["doc_id"]
+        for r in cand.filter(pip(F.col("lat"), F.col("lon"))).select("doc_id").collect()
+    }
+    pdf = pages.select("doc_id", "lat", "lon").toPandas()
+    y, x = pdf["lat"].to_numpy(), pdf["lon"].to_numpy()
+    inside = np.zeros(len(pdf), dtype=bool)
+    ry, rx = tri[:, 0], tri[:, 1]
+    for a_i in range(3):
+        b_i = (a_i + 1) % 3
+        y1, x1, y2, x2 = ry[a_i], rx[a_i], ry[b_i], rx[b_i]
+        if y1 == y2:
+            continue
+        inside ^= ((y1 > y) != (y2 > y)) & (x < (x2 - x1) * (y - y1) / (y2 - y1) + x1)
+    want = set(pdf.loc[inside, "doc_id"].tolist())
+    assert got == want and len(want) > 0
+
+
+def test_covering_superset_random_rects():
+    rng = np.random.default_rng(99)
+    for _ in range(4):
+        lat0 = rng.uniform(-80, 70)
+        lat1 = lat0 + rng.uniform(0.5, 12)
+        lon0 = rng.uniform(-170, 150)
+        lon1 = lon0 + rng.uniform(0.5, 18)
+        cov = COV.latlng_rect_covering(lat0, lat1, lon0, lon1, max_level=10)
+        plat = rng.uniform(lat0, lat1, 5000)
+        plon = rng.uniform(lon0, lon1, 5000)
+        leaf = K.lat_lon_to_cell_id(plat, plon, 30)
+        lo = np.sort(K.cell_id_range_min(cov) ^ np.uint64(1 << 63))
+        hi = np.sort(K.cell_id_range_max(cov) ^ np.uint64(1 << 63))
+        ls = leaf ^ np.uint64(1 << 63)
+        idx = np.searchsorted(lo, ls, side="right") - 1
+        ok = (idx >= 0) & (ls <= hi[np.clip(idx, 0, len(hi) - 1)])
+        assert ok.all()
+
+
+def test_minhash_recall_and_precision(spark):
+    """LSH recall vs exact shingle-Jaccard pairs at the query threshold:
+    every reported pair must be exact-verified (precision 1.0 by
+    construction); recall tolerance 0.8 at jacc>=0.5."""
+    from s2cell_spark.operators.dedup import jaccard_pairs_exact, minhash_near_dup_pairs
+
+    docs = spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in jaccard_pairs_exact(docs, 5000).collect()
+    }
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_near_dup_pairs(docs, threshold_bp=5000).collect()
+    }
+    assert got <= exact  # verified pairs can never be false positives
+    if exact:
+        assert len(got & exact) / len(exact) >= 0.8
+
+
+def test_checkpoint_resume_byte_identical(spark, tmp_path):
+    """t4: kill-between-stages resume — second run reuses stage 1's
+    snapshot and final output is byte-identical."""
+    from s2cell_spark.plans.checkpoint import CheckpointedPipeline
+
+    root = str(tmp_path / "ckpt")
+
+    def run(fail_stage2: bool):
+        pipe = CheckpointedPipeline(spark, root)
+        pages_df = pipe.stage(
+            "encode",
+            lambda: with_cell_id(load_pages(spark, SF_SMOKE)).repartition(4, "doc_id"),
+            sort_cols=("doc_id",),
+        )
+        if fail_stage2:
+            raise RuntimeError("simulated failure between stages")
+        agg = pipe.stage(
+            "rollup",
+            lambda: pipe.read("encode")
+            .groupBy((F.col("doc_id") % 7).alias("k"))
+            .agg(
+                F.count("*").alias("n"),
+                # xor-fold: order-insensitive, overflow-free digest of cell IDs
+                F.sum(F.col("cell_id") % 1000003).alias("s"),
+            ),
+            inputs=("encode",),
+        )
+        return pipe, agg
+
+    with pytest.raises(RuntimeError):
+        run(fail_stage2=True)
+    pipe, agg = run(fail_stage2=False)
+    assert any(m.get("resumed") for m in pipe.metrics if m["stage"] == "encode")
+    first = sorted(map(tuple, agg.collect()))
+    # a third run resumes everything and reproduces identical bytes
+    pipe2, agg2 = run(fail_stage2=False)
+    assert sorted(map(tuple, agg2.collect())) == first
+    assert all(m.get("resumed") for m in pipe2.metrics)
+
+
+def test_streaming_matches_batch(spark, tmp_path):
+    """Structured-Streaming per-cell counts == the batch groupBy on the
+    same input (processed as one file-source micro-batch)."""
+    from s2cell_spark import functions as S2F
+    from s2cell_spark.streaming.ingest import streaming_cell_counts
+
+    src = str(tmp_path / "stream_src")
+    load_pages(spark, SF_SMOKE).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema
+    ).parquet(src)
+    out = streaming_cell_counts(stream, level=4, window="24 hours", watermark="48 hours")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("cellcounts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["cell_token"], r["n_pages"])
+        for r in spark.sql("select cell_token, n_pages from cellcounts").collect()
+    }
+    batch = with_cell_id(load_pages(spark, SF_SMOKE))
+    parent = S2F.cell_id_to_parent_cell_id(F.col("cell_id"), 4)
+    want = {
+        (r["t"], r["n"])
+        for r in batch.groupBy(S2F.cell_id_to_token(parent).alias("t"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == want and len(want) > 0
+
+
+def test_multimodal_features_deterministic(spark):
+    from s2cell_spark.operators.multimodal import attach_fake_media, extract_features
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    media = attach_fake_media(docs)
+    a = extract_features(media).orderBy("doc_id").collect()
+    b = extract_features(media).orderBy("doc_id").collect()
+    assert [r["feature"] for r in a] == [r["feature"] for r in b]
+    assert all(r["decoded"] == "stub" for r in a)
+    assert all(len(r["feature"]) == 16 for r in a)
+    # frame sampling plan explodes video rows only
+    from s2cell_spark.operators.multimodal import frame_sample_plan
+
+    frames = frame_sample_plan(media, every_ms=10000)
+    assert frames.count() > 0
