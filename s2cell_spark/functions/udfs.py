@@ -43,6 +43,9 @@ def _i64_to_u64(s: pd.Series) -> tuple[np.ndarray, np.ndarray]:
 
 
 def _u64_to_nullable(vals: np.ndarray, ok: np.ndarray) -> pd.Series:
+    if ok.all():
+        # fast path (the common case): zero-copy int64 series, no mask
+        return pd.Series(vals.view(np.int64))
     out = pd.Series(vals.view(np.int64), dtype="Int64")
     out[~ok] = pd.NA
     return out

@@ -135,11 +135,15 @@ def xyz_to_face_uv(
     comp = np.where(axis == 0, x, np.where(axis == 1, y, z))
     face = np.where(comp < 0.0, axis + 3, axis)
 
-    pts = np.stack((x, y, z))                      # (3, n)
-    n = np.arange(x.shape[0])
-    u_raw = pts[1 - ((face + 1) >> 1), n]
-    v_raw = pts[2 - (face >> 1), n]
-    div = pts[face % 3, n]
+    # component selection via branchless where-chains (gather-free; the
+    # index form `pts[1-((face+1)>>1), n]` costs 2-3x more):
+    #   U source: faces {1,2} -> x, {0,5} -> y, {3,4} -> z
+    #   V source: faces {0,1} -> z, {2,3} -> y, {4,5} -> x
+    #   divisor : face % 3 -> x, y, z
+    u_raw = np.where((face == 1) | (face == 2), x, np.where((face == 0) | (face == 5), y, z))
+    v_raw = np.where(face < 2, z, np.where(face < 4, y, x))
+    fm3 = face % 3
+    div = np.where(fm3 == 0, x, np.where(fm3 == 1, y, z))
     u = u_raw / div
     v = v_raw / div
     neg_u = (face == 1) | (face == 2) | (face == 5)
@@ -177,14 +181,28 @@ def face_ij_to_cell_id(
     j = j.astype(np.uint64, copy=False)
     bits = face & _U1
     cell_id = face << U64(POS_BITS - 1)
+    # scratch buffers: the 8-round loop would otherwise allocate ~40 temp
+    # arrays per batch — allocation traffic, not ALU, was the bottleneck
+    tmp = np.empty_like(bits)
+    gathered = np.empty_like(bits)
     for k in range(7, -1, -1):
         off = U64(4 * k)
-        bits = bits + (((i >> off) & _U15) << _U6)
-        bits = bits + (((j >> off) & _U15) << _U2)
-        bits = LOOKUP_POS[bits]
-        cell_id = cell_id | ((bits >> _U2) << U64(8 * k))
-        bits = bits & _U3
-    cell_id = cell_id << _U1
+        np.right_shift(i, off, out=tmp)
+        np.bitwise_and(tmp, _U15, out=tmp)
+        np.left_shift(tmp, _U6, out=tmp)
+        np.add(bits, tmp, out=bits)
+        np.right_shift(j, off, out=tmp)
+        np.bitwise_and(tmp, _U15, out=tmp)
+        np.left_shift(tmp, _U2, out=tmp)
+        np.add(bits, tmp, out=bits)
+        # int64 view: np.take needs signed indices; values are < 1024
+        np.take(LOOKUP_POS, bits.view(np.int64), out=gathered)
+        bits, gathered = gathered, bits
+        np.right_shift(bits, _U2, out=tmp)
+        np.left_shift(tmp, U64(8 * k), out=tmp)
+        np.bitwise_or(cell_id, tmp, out=cell_id)
+        np.bitwise_and(bits, _U3, out=bits)
+    np.left_shift(cell_id, _U1, out=cell_id)
     lsb = _level_to_lsb(level)
     return (cell_id & ~(lsb - _U1)) | lsb
 
@@ -207,14 +225,25 @@ def cell_id_to_face_ij(
     bits = face & _U1
     i = np.zeros_like(cell_id)
     j = np.zeros_like(cell_id)
+    tmp = np.empty_like(bits)
+    gathered = np.empty_like(bits)
     for k in range(7, -1, -1):
         extract_mask = _U15 if k == 7 else U64(255)
-        bits = bits + (((cell_id >> U64(k * 8 + 1)) & extract_mask) << _U2)
-        bits = LOOKUP_IJ[bits]
+        np.right_shift(cell_id, U64(k * 8 + 1), out=tmp)
+        np.bitwise_and(tmp, extract_mask, out=tmp)
+        np.left_shift(tmp, _U2, out=tmp)
+        np.add(bits, tmp, out=bits)
+        np.take(LOOKUP_IJ, bits.view(np.int64), out=gathered)
+        bits, gathered = gathered, bits
         off = U64(4 * k)
-        i = i + ((bits >> _U6) << off)
-        j = j + (((bits >> _U2) & _U15) << off)
-        bits = bits & _U3
+        np.right_shift(bits, _U6, out=tmp)
+        np.left_shift(tmp, off, out=tmp)
+        np.add(i, tmp, out=i)
+        np.right_shift(bits, _U2, out=tmp)
+        np.bitwise_and(tmp, _U15, out=tmp)
+        np.left_shift(tmp, off, out=tmp)
+        np.add(j, tmp, out=j)
+        np.bitwise_and(bits, _U3, out=bits)
     return face, i, j
 
 

@@ -41,21 +41,42 @@ from s2cell_spark.operators import covering as COV
 def coverings_df(
     spark: SparkSession, regions: dict[int, np.ndarray]
 ) -> DataFrame:
-    """Small DataFrame (region_id, cell_id, level) from region -> cells."""
-    rows = []
+    """Small DataFrame (region_id, cell_id, level) from region -> cells.
+
+    Built through pandas so the driver->JVM ship rides Arrow — coverings
+    can reach 10^5 cells and the Py4J row path is ~100x slower."""
+    parts = []
     for rid, cells in regions.items():
-        lvls = K.cell_id_to_level(cells)
-        rows.extend(
-            (int(rid), int(np.int64(c)), int(l))
-            for c, l in zip(cells.view(np.int64), lvls)
+        parts.append(
+            pd.DataFrame(
+                {
+                    "region_id": np.full(cells.shape, rid, dtype=np.int32),
+                    "cell_id": cells.view(np.int64),
+                    "level": K.cell_id_to_level(cells),
+                }
+            )
         )
-    return spark.createDataFrame(rows, "region_id int, cell_id long, level int")
+    pdf = pd.concat(parts, ignore_index=True) if parts else pd.DataFrame(
+        {"region_id": [], "cell_id": [], "level": []}
+    )
+    return spark.createDataFrame(pdf)
+
+
+def normalized_coverings_df(
+    spark: SparkSession, regions: dict[int, np.ndarray], level: int
+) -> DataFrame:
+    """(region_id, cov_cell) at a single level — the broadcast side of the
+    equi strategy. Build once per query; reusable across executions."""
+    norm = {rid: COV.covering_to_level(cells, level) for rid, cells in regions.items()}
+    return coverings_df(spark, norm).withColumnRenamed("cell_id", "cov_cell").select(
+        "region_id", "cov_cell"
+    )
 
 
 def containment_join_equi(
     pages: DataFrame,
     spark: SparkSession,
-    regions: dict[int, np.ndarray],
+    regions: dict[int, np.ndarray] | DataFrame,
     level: int,
     cell_col: str = "cell_id",
 ) -> DataFrame:
@@ -63,13 +84,17 @@ def containment_join_equi(
 
     Returns pages columns + ``region_id``. The join key
     ``parent(cell, L)`` is a native codegen expr, so this plans as one
-    BroadcastHashJoin with zero shuffle of the pages side.
+    BroadcastHashJoin with zero shuffle of the pages side. `regions` may be
+    a dict of cell arrays or a prebuilt :func:`normalized_coverings_df`.
     """
-    norm = {rid: COV.covering_to_level(cells, level) for rid, cells in regions.items()}
-    cov = coverings_df(spark, norm).withColumnRenamed("cell_id", "cov_cell")
+    cov = (
+        regions
+        if isinstance(regions, DataFrame)
+        else normalized_coverings_df(spark, regions, level)
+    )
     key = S2F.cell_id_to_parent_cell_id(F.col(cell_col), level)
     return pages.join(
-        F.broadcast(cov.select("region_id", "cov_cell")),
+        F.broadcast(cov),
         on=key == F.col("cov_cell"),
         how="inner",
     ).drop("cov_cell")
