@@ -207,11 +207,16 @@ def _q_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ll.lat"), F.col("ll.lon"), F.lit(30)
     )
     parent10 = S2F.cell_id_to_parent_cell_id(F.col("cell_id"), 10)
+    faceij_rt = S2F.s2_face_ij_to_cell_id(
+        F.col("fij.face"), F.col("fij.i"), F.col("fij.j"), F.lit(30)
+    )
     checks = (
         pages.withColumn("ll", S2F.cell_id_to_lat_lon(F.col("cell_id")))
         .withColumn("tok_rt", S2F.token_to_cell_id(S2F.cell_id_to_token(F.col("cell_id"))))
         .withColumn("reenc", reenc)
         .withColumn("p10", parent10)
+        .withColumn("fij", S2F.s2_cell_id_to_face_ij(F.col("cell_id")))
+        .withColumn("fij_rt", faceij_rt)
     )
     fail = lambda c: F.sum(F.when(c, 0).otherwise(1)).cast("long")  # noqa: E731
     return checks.agg(
@@ -220,10 +225,78 @@ def _q_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         fail(F.col("tok_rt") == F.col("cell_id")).alias("n_token_mismatch"),
         fail(F.col("reenc") == F.col("cell_id")).alias("n_reencode_mismatch"),
         fail(S2F.cell_id_to_level(F.col("cell_id")) == 30).alias("n_level_mismatch"),
+        fail(F.col("fij_rt") == F.col("cell_id")).alias("n_faceij_mismatch"),
         fail(
             (S2F.cell_id_sortable(S2F.cell_id_range_min(F.col("p10"))) <= F.col("cell_id_sortable"))
             & (F.col("cell_id_sortable") <= S2F.cell_id_sortable(S2F.cell_id_range_max(F.col("p10"))))
         ).alias("n_parent_range_violation"),
+    )
+
+
+# Deterministic synthetic cell IDs in pure SQL (both engines): face from
+# doc_id%7 (face 6 every 7th row -> deliberately INVALID), 60 Hilbert
+# position bits from two 30-bit hashes, truncated to level doc_id%31.
+# Faces 4-5 exercise the negative-long range (the uint64 bridge).
+_CELL_SYNTH_SQL = """
+  doc_id % 7 AS face,
+  doc_id % 31 AS lvl,
+  (
+    (doc_id % 7 - (CASE WHEN doc_id % 7 >= 4 THEN 8 ELSE 0 END)) * 2305843009213693952
+    + (((doc_id * 2654435761 + 40503) % 1073741824) * 1073741824
+       + ((doc_id * 1597334677 + 57559) % 1073741824)) * 2
+  ) AS raw_cell
+"""
+
+
+def _q_bitops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native expr surface (level/parent/validity/token/canonical) over
+    synthesized cell IDs covering all faces incl. an invalid face-6 class
+    — value-exact vs a DuckDB oracle built from int64 bit arithmetic."""
+    from s2cell_spark import functions as S2F
+
+    docs = _load_docs(spark, sf_dir)
+    # selectExpr takes one expression per argument — split the shared
+    # comma-separated synth SQL on top-level 'AS xxx,' boundaries
+    exprs = [e.strip().rstrip(",") for e in _CELL_SYNTH_SQL.split(",\n  ")]
+    base = docs.selectExpr("doc_id", *exprs)
+    lsb = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(2 * (30 - lvl) AS INT))")
+    cell = F.col("raw_cell").bitwiseAND(-lsb).bitwiseOR(lsb)
+    cell = F.when(F.col("face") == 6, F.col("raw_cell").bitwiseOR(F.lit(1))).otherwise(cell)
+    with_cell = base.withColumn("cell_id", cell)
+    tok = S2F.cell_id_to_token(F.col("cell_id"))
+    return with_cell.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("cell_id").cast("long").alias("cell_id"),
+        S2F.cell_id_is_valid(F.col("cell_id")).alias("is_valid"),
+        S2F.cell_id_to_level(F.col("cell_id")).cast("long").alias("level_out"),
+        S2F.cell_id_to_parent_cell_id(F.col("cell_id"), 5).cast("long").alias("parent5"),
+        tok.alias("token"),
+        S2F.token_to_cell_id(tok).cast("long").alias("token_rt"),
+        S2F.token_to_canonical_token(F.upper(tok)).alias("canon"),
+        S2F.cell_id_sortable(F.col("cell_id")).cast("long").alias("sortable"),
+    )
+
+
+def _q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windowed aggregation over the events table (the
+    batch shape of the streaming per-cell counts)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    agg = (
+        ev.groupBy(
+            F.window(F.col("ts"), "1 hour").alias("win"), F.col("event_type")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+        )
+    )
+    return agg.select(
+        F.col("win.start").alias("window_start"),
+        "event_type",
+        "n_events",
+        "value_cents",
+        "n_users",
     )
 
 
@@ -392,6 +465,8 @@ def _q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "s2_bitops": _q_bitops,
+        "events_window_1h": _q_events_window,
         "pip_boxes_equi": _q_pip("equi"),
         "pip_boxes_range": _q_pip("range"),
         "pip_boxes_salted": _q_pip("salted"),
@@ -472,9 +547,67 @@ def _roundtrip_oracle() -> str:
     return (
         "SELECT CAST(count(*) AS BIGINT) AS n_pages, CAST(0 AS BIGINT) AS n_invalid, "
         "CAST(0 AS BIGINT) AS n_token_mismatch, CAST(0 AS BIGINT) AS n_reencode_mismatch, "
-        "CAST(0 AS BIGINT) AS n_level_mismatch, CAST(0 AS BIGINT) AS n_parent_range_violation "
+        "CAST(0 AS BIGINT) AS n_level_mismatch, CAST(0 AS BIGINT) AS n_faceij_mismatch, "
+        "CAST(0 AS BIGINT) AS n_parent_range_violation "
         "FROM documents"
     )
+
+
+def _bitops_oracle() -> str:
+    """Full int64 reimplementation of the native expr surface in DuckDB:
+    ctz via bit_count(lsb-1), face via arithmetic-shift+mask, token via
+    to_hex, token->id via the signed two-half trick (<< overflows)."""
+    return f"""WITH base AS (SELECT doc_id, {_CELL_SYNTH_SQL} FROM documents),
+c AS (
+  SELECT doc_id,
+    CASE WHEN face = 6 THEN raw_cell | 1
+         ELSE (raw_cell & -(CAST(1 AS BIGINT) << (2*(30-lvl))))
+              | (CAST(1 AS BIGINT) << (2*(30-lvl))) END AS cell_id
+  FROM base
+),
+t AS (
+  SELECT doc_id, cell_id,
+    (cell_id >> 61) & 7 AS face_bits,
+    cell_id & (-cell_id) AS lsb
+  FROM c
+),
+v AS (
+  SELECT *,
+    (cell_id <> 0 AND face_bits <= 5 AND (lsb & 1537228672809129301) <> 0) AS is_valid,
+    (30 - bit_count(lsb - 1) // 2) AS lvl_out,
+    CASE WHEN cell_id = 0 THEN 'X'
+         ELSE regexp_replace(lpad(lower(to_hex(cell_id)), 16, '0'), '0+$', '') END AS token
+  FROM t
+),
+w AS (
+  SELECT *, rpad(token, 16, '0') AS padded FROM v
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+  CAST(cell_id AS BIGINT) AS cell_id,
+  is_valid,
+  CASE WHEN is_valid THEN CAST(lvl_out AS BIGINT) END AS level_out,
+  CASE WHEN is_valid AND lvl_out >= 5
+       THEN CAST((cell_id & -(CAST(1 AS BIGINT) << 50)) | (CAST(1 AS BIGINT) << 50) AS BIGINT)
+  END AS parent5,
+  token,
+  CAST((CAST(concat('0x', substr(padded, 1, 8)) AS BIGINT)
+        - (CASE WHEN CAST(concat('0x', substr(padded, 1, 8)) AS BIGINT) >= 2147483648
+                THEN 4294967296 ELSE 0 END)) * 4294967296
+       + CAST(concat('0x', substr(padded, 9, 8)) AS BIGINT) AS BIGINT) AS token_rt,
+  (CASE WHEN regexp_replace(trim(lower(upper(token))), '0+$', '') IN ('', 'x') THEN 'X'
+        ELSE regexp_replace(trim(lower(upper(token))), '0+$', '') END) AS canon,
+  xor(cell_id, -9223372036854775808) AS sortable
+FROM w
+"""
+
+
+def _events_window_oracle() -> str:
+    return """SELECT date_trunc('hour', ts) AS window_start, event_type,
+  CAST(count(*) AS BIGINT) AS n_events,
+  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents,
+  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY 1, 2
+"""
 
 
 def _jaccard_oracle() -> str:
@@ -626,6 +759,8 @@ FROM documents
 def oracle_sql() -> dict[str, str]:
     pip = _pip_oracle()
     return {
+        "s2_bitops": _bitops_oracle(),
+        "events_window_1h": _events_window_oracle(),
         "pip_boxes_equi": pip,
         "pip_boxes_range": pip,
         "pip_boxes_salted": pip,

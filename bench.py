@@ -30,6 +30,8 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 HEADLINE = [
+    "s2_bitops",
+    "events_window_1h",
     "pip_boxes_equi",
     "pip_boxes_range",
     "knn_pages",

@@ -25,9 +25,11 @@ from s2cell_spark.functions.udfs import (
     neighbor_cell_ids,
     register_sql_functions,
     s2_cell_id_is_valid,
+    s2_cell_id_to_face_ij,
     s2_cell_id_to_lat_lon,
     s2_cell_id_to_level,
     s2_cell_id_to_token,
+    s2_face_ij_to_cell_id,
     s2_lat_lon_to_cell_id,
     s2_neighbor_cell_ids,
     s2_token_to_cell_id,

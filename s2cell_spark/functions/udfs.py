@@ -153,6 +153,53 @@ def s2_neighbor_cell_ids(cid: pd.Series, edge: pd.Series, corner: pd.Series) -> 
     return pd.Series(out, dtype="object")
 
 
+_FACE_IJ_SCHEMA = StructType(
+    [
+        StructField("face", IntegerType()),
+        StructField("i", LongType()),
+        StructField("j", LongType()),
+    ]
+)
+
+
+@F.pandas_udf(_FACE_IJ_SCHEMA)
+def s2_cell_id_to_face_ij(cid: pd.Series) -> pd.DataFrame:
+    """cell ID -> (face, i, j) leaf coords — public since reference v1.8.0
+    (s2cell/s2cell.py:345-426); null struct members for invalid IDs."""
+    vals, notnull = _i64_to_u64(cid)
+    ok = notnull & K.cell_id_is_valid(vals)
+    face, i, j = K.cell_id_to_face_ij(np.where(ok, vals, np.uint64(1)))
+    out = pd.DataFrame(
+        {
+            "face": pd.array(face.astype(np.int32), dtype="Int32"),
+            "i": pd.array(i.view(np.int64), dtype="Int64"),
+            "j": pd.array(j.view(np.int64), dtype="Int64"),
+        }
+    )
+    out.loc[~ok, :] = pd.NA
+    return out
+
+
+@F.pandas_udf(LongType())
+def s2_face_ij_to_cell_id(face: pd.Series, i: pd.Series, j: pd.Series, level: pd.Series) -> pd.Series:
+    """(face, i, j, level) -> cell ID (s2cell/s2cell.py:429-502); null when
+    any input is null or out of range."""
+    ok = (
+        face.notna().to_numpy() & i.notna().to_numpy()
+        & j.notna().to_numpy() & level.notna().to_numpy()
+    )
+    f = face.fillna(0).to_numpy(dtype=np.int64)
+    lvl = level.fillna(0).to_numpy(dtype=np.int64)
+    ok &= (f >= 0) & (f <= 5) & (lvl >= 0) & (lvl <= 30)
+    ids = K.face_ij_to_cell_id(
+        np.clip(f, 0, 5).astype(np.uint64),
+        i.fillna(0).to_numpy(dtype=np.int64).view(np.uint64),
+        j.fillna(0).to_numpy(dtype=np.int64).view(np.uint64),
+        np.clip(lvl, 0, 30).astype(np.uint64),
+    )
+    return _u64_to_nullable(ids, ok)
+
+
 @F.pandas_udf(BooleanType())
 def s2_cell_id_is_valid(cid: pd.Series) -> pd.Series:
     """Kernel-parity validity (prefer the native expr in query plans)."""
@@ -186,3 +233,5 @@ def register_sql_functions(spark) -> None:
     spark.udf.register("s2_cell_id_to_level", s2_cell_id_to_level)
     spark.udf.register("s2_neighbor_cell_ids", s2_neighbor_cell_ids)
     spark.udf.register("s2_cell_id_is_valid", s2_cell_id_is_valid)
+    spark.udf.register("s2_cell_id_to_face_ij", s2_cell_id_to_face_ij)
+    spark.udf.register("s2_face_ij_to_cell_id", s2_face_ij_to_cell_id)

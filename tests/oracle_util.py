@@ -27,6 +27,8 @@ def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
             out[c] = out[c].astype("int64")
         elif str(out[c].dtype).startswith(("float", "Float")):
             out[c] = out[c].astype("float64")
+        elif str(out[c].dtype).startswith("datetime64"):
+            out[c] = out[c].astype("datetime64[us]")
         elif out[c].dtype == object:
             out[c] = out[c].astype(str)
     return out.sort_values(list(out.columns), kind="stable").reset_index(drop=True)
