@@ -601,6 +601,38 @@ FROM w
 """
 
 
+def _cell_heatmap_oracle() -> str:
+    """DuckDB re-derives every page's level-8 S2 cell FROM SCRATCH — trig,
+    cube-face projection, quadratic ST, and the Hilbert curve itself
+    (1024-entry lookup table as a VALUES relation, rounds unrolled as
+    joins) — then groups. Value-checks the whole encode pipeline against
+    an independent engine."""
+    from s2cell_spark.functions import hilbert_sql as H
+
+    cell = H.truncate_sql(CELL_LEVEL)
+    return f"""{_PAGES_CTE},
+{H.leaf_bits_cte(source="pages", max_level=CELL_LEVEL)}
+SELECT {H.token_sql(cell)} AS cell_token, CAST(count(*) AS BIGINT) AS n_pages
+FROM s2enc GROUP BY 1
+"""
+
+
+def _hier_rollup_oracle() -> str:
+    from s2cell_spark.functions import hilbert_sql as H
+
+    levels = [4, 6, 8]
+    arms = " UNION ALL ".join(
+        f"SELECT CAST({lvl} AS BIGINT) AS level, "
+        f"{H.token_sql(H.truncate_sql(lvl))} AS cell_token, "
+        f"CAST(count(*) AS BIGINT) AS n_pages FROM s2enc GROUP BY 2"
+        for lvl in levels
+    )
+    return f"""{_PAGES_CTE},
+{H.leaf_bits_cte(source="pages", max_level=max(levels))}
+{arms}
+"""
+
+
 def _events_window_oracle() -> str:
     return """SELECT date_trunc('hour', ts) AS window_start, event_type,
   CAST(count(*) AS BIGINT) AS n_events,
@@ -766,8 +798,8 @@ def oracle_sql() -> dict[str, str]:
         "pip_boxes_salted": pip,
         "knn_pages": _knn_oracle(),
         "tile_heatmap_z6": _tile_oracle(),
-        # cell_heatmap_l8 / hierarchical_rollup: S2 Hilbert tokens are not
-        # ANSI-SQL-expressible -> rows-only check
+        "cell_heatmap_l8": _cell_heatmap_oracle(),
+        "hierarchical_rollup": _hier_rollup_oracle(),
         "s2_roundtrip_invariants": _roundtrip_oracle(),
         "neighbor_symmetry": "SELECT CAST(0 AS BIGINT) AS n_asym",
         "dedup_exact": _dedup_oracle(),
