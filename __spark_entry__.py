@@ -662,6 +662,51 @@ WHERE floor((10000 * i) / (sa.sz + sb.sz - i)) >= {JACC_THRESHOLD_BP}
 """
 
 
+def _minhash_oracle() -> str:
+    """Full MinHash+LSH re-derivation in DuckDB: 31-bit md5 shingle hash,
+    the same 64 Carter-Wegman permutation literals, 16 band buckets, the
+    candidate equi-join, then exact-Jaccard verification of candidates —
+    value-exact vs the Spark pipeline (operators/dedup.py)."""
+    from s2cell_spark.operators.dedup import MINHASH_PRIME, minhash_params
+
+    num_perm, bands = 64, 16
+    rpb = num_perm // bands
+    a, b = minhash_params(num_perm)
+    mins = ", ".join(
+        f"min(({a[i]} * h + {b[i]}) % {MINHASH_PRIME}) AS m{i}" for i in range(num_perm)
+    )
+    band_arms = " UNION ALL ".join(
+        "SELECT doc, {bi} AS band, concat_ws(',', {cols}) AS bucket FROM sig".format(
+            bi=bi, cols=", ".join(f"m{bi * rpb + r}" for r in range(rpb))
+        )
+        for bi in range(bands)
+    )
+    return f"""WITH w AS (SELECT doc_id AS doc, {_WORDS} AS ws FROM documents),
+sh AS (
+  SELECT doc, unnest(list_transform(range(1, len(ws)-1), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s
+  FROM w WHERE len(ws) >= 3
+),
+hh AS (SELECT doc, CAST(concat('0x', substr(md5(s), 1, 8)) AS BIGINT) & {MINHASH_PRIME} AS h FROM sh),
+sig AS (SELECT doc, {mins} FROM hh GROUP BY doc),
+banded AS ({band_arms}),
+cand AS (
+  SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+  FROM banded a JOIN banded b USING (band, bucket) WHERE a.doc < b.doc
+),
+shd AS (SELECT DISTINCT doc, s FROM sh),
+sz AS (SELECT doc, COUNT(*) AS sz FROM shd GROUP BY doc),
+inter AS (
+  SELECT x.doc AS doc_a, y.doc AS doc_b, COUNT(*) AS i
+  FROM shd x JOIN shd y USING (s) JOIN cand ON x.doc = cand.doc_a AND y.doc = cand.doc_b
+  GROUP BY 1, 2
+)
+SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b,
+       CAST(floor((10000 * i) / (sa.sz + sb.sz - i)) AS BIGINT) AS jacc_bp
+FROM inter JOIN sz sa ON sa.doc = doc_a JOIN sz sb ON sb.doc = doc_b
+WHERE floor((10000 * i) / (sa.sz + sb.sz - i)) >= {JACC_THRESHOLD_BP}
+"""
+
+
 def _simhash_oracle() -> str:
     lo = "CAST(concat('0x', substr(md5(w), 9, 8)) AS BIGINT)"
     hi = "CAST(concat('0x', substr(md5(w), 1, 8)) AS BIGINT)"
@@ -804,7 +849,7 @@ def oracle_sql() -> dict[str, str]:
         "neighbor_symmetry": "SELECT CAST(0 AS BIGINT) AS n_asym",
         "dedup_exact": _dedup_oracle(),
         "jaccard_pairs": _jaccard_oracle(),
-        # minhash_near_dups: probabilistic recall -> rows-only
+        "minhash_near_dups": _minhash_oracle(),
         "simhash": _simhash_oracle(),
         "doc_fingerprint": _fingerprint_oracle(),
         "token_count": _token_count_oracle(),
