@@ -431,7 +431,9 @@ def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from s2cell_spark.operators.similarity import ivf_topk
 
     emb = _load_emb(spark, sf_dir)
-    out = ivf_topk(emb, _ann_queries(spark, sf_dir), ANN_K, n_cells=16, nprobe=4)
+    out = ivf_topk(
+        emb, _ann_queries(spark, sf_dir), ANN_K, n_cells=IVF_N_CELLS, nprobe=IVF_NPROBE
+    )
     return out.select(
         F.col("query_id").cast("long").alias("query_id"),
         F.col("vec_id").cast("long").alias("vec_id"),
@@ -439,15 +441,25 @@ def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+COS_THRESHOLD = 0.3   # test embeddings are near-orthogonal; 0.3 yields pairs
+COS_N_BITS = 8
+COS_N_TABLES = 4
+COS_DIM = 64          # embeddings.parquet vector width (all SFs)
+IVF_N_CELLS = 16
+IVF_NPROBE = 4
+
+
 def _q_cosine_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from s2cell_spark.operators.similarity import cosine_near_dup_pairs
 
     emb = _load_emb(spark, sf_dir)
-    dim = len(emb.select("embedding").first()[0])
-    out = cosine_near_dup_pairs(emb, dim, threshold=0.95)
+    out = cosine_near_dup_pairs(
+        emb, COS_DIM, threshold=COS_THRESHOLD, n_bits=COS_N_BITS, n_tables=COS_N_TABLES
+    )
     return out.select(
         F.col("doc_a").cast("long").alias("vec_a"),
         F.col("doc_b").cast("long").alias("vec_b"),
+        F.floor(F.lit(10000.0) * F.col("cosine")).cast("long").alias("cosine_bp"),
     )
 
 
@@ -811,6 +823,96 @@ FROM ranked WHERE rnk <= {ANN_K}
 """
 
 
+def _dot_sql(a: str, b: str) -> str:
+    """Sequential-fold double dot product — the DuckDB twin of Spark's
+    ``F.aggregate(F.zip_with(...), 0.0, acc+x)`` (list_reduce without an
+    init folds left from the first element; 0.0 + x == x for doubles)."""
+    return f"list_reduce(list_transform(list_zip({a}, {b}), p -> p[1] * p[2]), (x, y) -> x + y)"
+
+
+def _vec_lit(vec) -> str:
+    """double-list literal; repr round-trips float64 exactly and DuckDB's
+    decimal-literal -> DOUBLE cast is correctly rounded."""
+    return "CAST([" + ", ".join(repr(float(x)) for x in vec) + "] AS DOUBLE[])"
+
+
+def _cosine_near_dups_oracle() -> str:
+    """SRP-LSH near-dup pipeline re-derived in DuckDB: hyperplanes embedded
+    as double literals, bucket = sum of sign bits, candidate equi-join per
+    table, exact cosine verify — value-exact because every float
+    accumulation is the same sequential fold on both engines."""
+    from s2cell_spark.operators.similarity import srp_planes
+
+    arms = []
+    for t in range(COS_N_TABLES):
+        planes = srp_planes(COS_DIM, COS_N_BITS, seed=23 + t)
+        bits = " + ".join(
+            f"(CASE WHEN {_dot_sql('v', _vec_lit(planes[i]))} > 0 THEN {1 << i} ELSE 0 END)"
+            for i in range(COS_N_BITS)
+        )
+        arms.append(f"SELECT vec_id, {t} AS tbl, {bits} AS bucket FROM e")
+    banded = " UNION ALL ".join(arms)
+    dot = _dot_sql("a.v", "b.v")
+    nrm = lambda c: f"sqrt({_dot_sql(c, c)})"  # noqa: E731
+    cos = f"({dot}) / ({nrm('a.v')} * {nrm('b.v')})"
+    return f"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+banded AS ({banded}),
+cand AS (
+  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+  FROM banded x JOIN banded y USING (tbl, bucket) WHERE x.vec_id < y.vec_id
+)
+SELECT CAST(vec_a AS BIGINT) AS vec_a, CAST(vec_b AS BIGINT) AS vec_b,
+       CAST(floor(10000.0e0 * ({cos})) AS BIGINT) AS cosine_bp
+FROM cand JOIN e a ON a.vec_id = vec_a JOIN e b ON b.vec_id = vec_b
+WHERE {cos} >= {COS_THRESHOLD!r}
+"""
+
+
+def _ivf_oracle() -> str:
+    """IVF ANN re-derived in DuckDB: centroid literals, window-argmax
+    assignment, per-query probe selection, exact cosine ranking on probed
+    candidates — value-exact via the shared sequential fold order."""
+    from s2cell_spark.operators.similarity import ivf_centroids
+
+    cents = ivf_centroids(COS_DIM, IVF_N_CELLS)
+    cent_rows = ", ".join(f"({c}, {_vec_lit(cents[c])})" for c in range(IVF_N_CELLS))
+    dot_q = _dot_sql("q.qv", "cents.c")
+    dot_a = _dot_sql("e.v", "cents.c")
+    cos = (
+        f"({_dot_sql('e.v', 'q.qv')}) / "
+        f"(sqrt({_dot_sql('e.v', 'e.v')}) * sqrt({_dot_sql('q.qv', 'q.qv')}))"
+    )
+    return f"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cents(cell, c) AS (VALUES {cent_rows}),
+assign AS (
+  SELECT vec_id, cell AS ivf_cell FROM (
+    SELECT e.vec_id, cents.cell,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY {dot_a} DESC, cents.cell) AS rn
+    FROM e CROSS JOIN cents
+  ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {ANN_N_QUERIES}),
+probes AS (
+  SELECT query_id, cell AS ivf_cell FROM (
+    SELECT q.query_id, cents.cell,
+           row_number() OVER (PARTITION BY q.query_id ORDER BY {dot_q} DESC, cents.cell) AS rn
+    FROM q CROSS JOIN cents
+  ) WHERE rn <= {IVF_NPROBE}
+),
+scored AS (
+  SELECT p.query_id, e.vec_id,
+         row_number() OVER (PARTITION BY p.query_id ORDER BY {cos} DESC, e.vec_id) AS rnk
+  FROM assign JOIN probes p USING (ivf_cell)
+  JOIN e ON e.vec_id = assign.vec_id
+  JOIN q ON q.query_id = p.query_id
+  WHERE e.vec_id <> p.query_id
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(vec_id AS BIGINT) AS vec_id,
+       CAST(rnk AS BIGINT) AS rank
+FROM scored WHERE rnk <= {ANN_K}
+"""
+
+
 def _dedup_oracle() -> str:
     return (
         "SELECT md5(text) AS text_md5, CAST(count(*) AS BIGINT) AS n_docs, "
@@ -856,6 +958,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_score": _quality_oracle(),
         "lang_id": _lang_oracle(),
         "ann_topk": _ann_oracle(),
-        # ivf_topk / cosine_near_dups: approximate -> rows-only
+        "ivf_topk": _ivf_oracle(),
+        "cosine_near_dups": _cosine_near_dups_oracle(),
         "multimodal_features": _multimodal_oracle(),
     }

@@ -10,7 +10,10 @@
   bucket), verified exactly; probabilistic recall, tested with tolerance.
 * :func:`ivf_topk` — IVF-style two-stage ANN: k-means-ish centroid
   assignment (deterministic seeded centroids), probe the nprobe closest
-  lists only. Approximate; exposed rows-only.
+  lists only. Approximate by design, but DETERMINISTIC: all float
+  accumulations run in a fixed sequential order (see `_seq_dot`), so the
+  DuckDB oracle re-derives buckets/assignments/rankings value-exactly
+  with the planes/centroids embedded as double literals.
 
 Embeddings are ``array<float/double>`` columns; at 100 TB the embeddings
 table is bucketed by LSH/IVF cell so candidate generation is an equi-join,
@@ -91,15 +94,33 @@ def cosine_topk_bruteforce(
     )
 
 
+def srp_planes(dim: int, n_bits: int, seed: int) -> np.ndarray:
+    """Deterministic SRP hyperplanes, shared by the Spark UDF and the
+    DuckDB oracle generator (embedded there as double literals)."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_bits, dim))
+
+
+def _seq_dot(planes: np.ndarray, mat: np.ndarray) -> np.ndarray:
+    """planes @ mat.T with a SEQUENTIAL float64 accumulation over dim
+    (vectorized across rows/planes). Matches the left-fold order of both
+    Spark's ``F.aggregate`` and DuckDB's ``list_reduce`` bit-for-bit —
+    BLAS matmul uses blocked/pairwise summation whose rounding differs, so
+    it cannot be value-checked across engines."""
+    acc = np.zeros((planes.shape[0], mat.shape[0]))
+    for k in range(planes.shape[1]):
+        acc += planes[:, k : k + 1] * mat[None, :, k]
+    return acc
+
+
 def srp_bucket_udf(dim: int, n_bits: int = 16, seed: int = 23):
     """Sign-random-projection bucket id (n_bits-bit) pandas UDF."""
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((n_bits, dim))
+    planes = srp_planes(dim, n_bits, seed)
 
     @F.pandas_udf(LongType())
     def bucket(vec: pd.Series) -> pd.Series:
         mat = _to_matrix(vec)
-        signs = (planes @ mat.T) > 0  # (n_bits, n)
+        signs = _seq_dot(planes, mat) > 0  # (n_bits, n)
         weights = (1 << np.arange(n_bits, dtype=np.int64))[:, None]
         return pd.Series((signs * weights).sum(axis=0).astype(np.int64))
 
@@ -144,8 +165,12 @@ def cosine_near_dup_pairs(
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )
+    # cast to double BEFORE multiplying: float32 products round differently
+    # and would diverge from the (double-only) DuckDB oracle
+    da = F.transform("v_a", lambda x: x.cast("double"))
+    db = F.transform("v_b", lambda x: x.cast("double"))
     dot = F.aggregate(
-        F.zip_with("v_a", "v_b", lambda x, y: x * y),
+        F.zip_with(da, db, lambda x, y: x * y),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
@@ -153,10 +178,35 @@ def cosine_near_dup_pairs(
         F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x)
     )  # noqa: E731
     return (
-        cand.withColumn("cosine", dot / (norm(F.col("v_a")) * norm(F.col("v_b"))))
+        cand.withColumn("cosine", dot / (norm(da) * norm(db)))
         .filter(F.col("cosine") >= threshold)
         .select("doc_a", "doc_b", "cosine")
     )
+
+
+def ivf_centroids(dim: int, n_cells: int, seed: int = 31) -> np.ndarray:
+    """Deterministic seeded unit centroids, shared by the assignment UDF
+    and the DuckDB oracle generator."""
+    rng = np.random.default_rng(seed)
+    cents = rng.standard_normal((n_cells, dim))
+    return cents / np.linalg.norm(cents, axis=1, keepdims=True)
+
+
+def ivf_probes(
+    queries: list[tuple[int, list[float]]], cents: np.ndarray, nprobe: int
+) -> list[tuple[int, int]]:
+    """(query_id, ivf_cell) rows: each query's `nprobe` closest centroid
+    lists. Unnormalized dot (argmax/argsort are scale-invariant for
+    |q| > 0), sequential accumulation + stable tie-break on cell index —
+    byte-identical to the oracle's `ORDER BY d DESC, cell` window."""
+    q_ids = [q[0] for q in queries]
+    q_mat = np.vstack([np.asarray(q[1], dtype=np.float64) for q in queries])
+    qd = _seq_dot(cents, q_mat)  # (n_cells, nq)
+    out = []
+    for qi, qid in enumerate(q_ids):
+        order = np.argsort(-qd[:, qi], kind="stable")[:nprobe]
+        out.extend((int(qid), int(cell)) for cell in order)
+    return out
 
 
 def ivf_topk(
@@ -174,24 +224,17 @@ def ivf_topk(
     closest cells. Approximate by design; recall grows with nprobe."""
     first = embeddings.select(vec_col).first()
     dim = len(first[0])
-    rng = np.random.default_rng(seed)
-    cents = rng.standard_normal((n_cells, dim))
-    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    cents = ivf_centroids(dim, n_cells, seed)
 
     @F.pandas_udf(LongType())
     def assign(vec: pd.Series) -> pd.Series:
         mat = _to_matrix(vec)
-        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-        return pd.Series(np.argmax(cents @ mat.T, axis=0).astype(np.int64))
+        # unnormalized dot: argmax is scale-invariant (|v| > 0), and the
+        # sequential accumulation order matches the oracle's SQL fold
+        return pd.Series(np.argmax(_seq_dot(cents, mat), axis=0).astype(np.int64))
 
     assigned = embeddings.withColumn("ivf_cell", assign(F.col(vec_col)))
-    q_ids = [q[0] for q in queries]
-    q_mat = np.vstack([np.asarray(q[1], dtype=np.float64) for q in queries])
-    qn = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
-    probes = np.argsort(-(qn @ cents.T), axis=1)[:, :nprobe]
-    probe_rows = [
-        (int(qid), int(cell)) for qid, row in zip(q_ids, probes) for cell in row
-    ]
+    probe_rows = ivf_probes(queries, cents, nprobe)
     probe_df = F.broadcast(
         assigned.sparkSession.createDataFrame(probe_rows, "query_id long, ivf_cell long")
     )
