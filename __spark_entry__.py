@@ -51,6 +51,19 @@ KNN_QUERIES = [
 ]
 KNN_K = 5
 TILE_ZOOM = 6
+
+# region_id -> list of rings, each a list of (lat, lon) vertices; even-odd
+# across rings (ring 2 of region 1 is a HOLE). Vertices are small exact
+# decimals so the Spark UDF and the oracle SQL embed identical float64.
+PIP_POLYGONS = {
+    0: [  # concave arrow over western Europe
+        [(45.0, -5.0), (55.0, 0.0), (50.0, 5.0), (55.0, 10.0), (45.0, 15.0), (48.0, 5.0)],
+    ],
+    1: [  # equatorial slab with a rectangular hole
+        [(-15.0, 5.0), (15.0, 5.0), (15.0, 35.0), (-15.0, 35.0)],
+        [(-5.0, 15.0), (5.0, 15.0), (5.0, 25.0), (-5.0, 25.0)],
+    ],
+}
 CELL_LEVEL = 8
 JACC_THRESHOLD_BP = 2000
 ANN_K = 5
@@ -154,6 +167,38 @@ def _q_pip(strategy: str):
         )
 
     return run
+
+
+def _q_pip_polygons(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full PIP pipeline on real polygons: bbox-covering candidate prune
+    (broadcast containment join) -> exact even-odd ray-cast (vectorized
+    numpy UDF) per region. Two regions: a concave polygon and a polygon
+    with a hole."""
+    import numpy as np
+
+    from s2cell_spark.operators.containment import containment_join_equi, point_in_polygon_udf
+    from s2cell_spark.operators.covering import polygon_bbox_covering
+
+    pages = _pages_with_cells(spark, sf_dir)
+    regions = {
+        rid: polygon_bbox_covering([np.asarray(r) for r in rings], max_level=10)
+        for rid, rings in PIP_POLYGONS.items()
+    }
+    joined = containment_join_equi(pages, spark, regions, level=10)
+    branches = []
+    for rid, rings in PIP_POLYGONS.items():
+        pip = point_in_polygon_udf([np.asarray(r) for r in rings])
+        branches.append(
+            joined.filter(F.col("region_id") == rid)
+            .filter(pip(F.col("lat"), F.col("lon")))
+        )
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionByName(b)
+    return out.select(
+        F.col("region_id").cast("long").alias("region_id"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+    )
 
 
 def _q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -482,6 +527,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_boxes_equi": _q_pip("equi"),
         "pip_boxes_range": _q_pip("range"),
         "pip_boxes_salted": _q_pip("salted"),
+        "pip_polygons": _q_pip_polygons,
         "knn_pages": _q_knn,
         "tile_heatmap_z6": _q_tile_heatmap,
         "cell_heatmap_l8": _q_cell_heatmap,
@@ -521,6 +567,32 @@ SELECT CAST(region_id AS BIGINT) AS region_id, CAST(doc_id AS BIGINT) AS doc_id
 FROM pages p JOIN boxes b
   ON p.lat >= b.lat_lo AND p.lat <= b.lat_hi AND p.lon >= b.lon_lo AND p.lon <= b.lon_hi
 """
+
+
+def _pip_polygons_oracle() -> str:
+    """Even-odd ray-cast unrolled per polygon edge, identical term order to
+    the numpy UDF (operators/containment.py:point_in_polygon_udf); the
+    covering prune is a superset so the oracle skips it."""
+    arms = []
+    for rid, rings in PIP_POLYGONS.items():
+        terms = []
+        for ring in rings:
+            k = len(ring)
+            for a in range(k):
+                y1, x1 = ring[a]
+                y2, x2 = ring[(a + 1) % k]
+                if y1 == y2:
+                    continue  # UDF skips horizontal edges (div by zero)
+                terms.append(
+                    f"(CASE WHEN (({y1!r} > lat) <> ({y2!r} > lat)) AND "
+                    f"(lon < ({x2!r} - {x1!r}) * (lat - {y1!r}) / ({y2!r} - {y1!r}) + {x1!r}) "
+                    f"THEN 1 ELSE 0 END)"
+                )
+        arms.append(
+            f"SELECT CAST({rid} AS BIGINT) AS region_id, CAST(doc_id AS BIGINT) AS doc_id "
+            f"FROM pages WHERE ({' + '.join(terms)}) % 2 = 1"
+        )
+    return f"{_PAGES_CTE}\n" + "\nUNION ALL\n".join(arms)
 
 
 def _knn_oracle() -> str:
@@ -943,6 +1015,7 @@ def oracle_sql() -> dict[str, str]:
         "pip_boxes_equi": pip,
         "pip_boxes_range": pip,
         "pip_boxes_salted": pip,
+        "pip_polygons": _pip_polygons_oracle(),
         "knn_pages": _knn_oracle(),
         "tile_heatmap_z6": _tile_oracle(),
         "cell_heatmap_l8": _cell_heatmap_oracle(),

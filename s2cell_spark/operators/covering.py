@@ -161,6 +161,22 @@ def latlng_rect_covering(
     return np.concatenate(out) if out else np.empty(0, dtype=np.uint64)
 
 
+def polygon_bbox_covering(
+    rings: list, max_level: int = 10, min_emit_level: int | None = None
+) -> np.ndarray:
+    """Covering of a polygon's lat/lon bounding box (rings: list of (k, 2)
+    (lat, lon) vertex arrays). A bbox covering is a superset of the polygon
+    covering, which is all candidate pruning needs — the exact ray-cast
+    stage removes the slack. Tighter polygon-aware coverings would only
+    improve pruning, not correctness."""
+    vs = np.concatenate([np.asarray(r, dtype=np.float64) for r in rings])
+    return latlng_rect_covering(
+        float(vs[:, 0].min()), float(vs[:, 0].max()),
+        float(vs[:, 1].min()), float(vs[:, 1].max()),
+        max_level=max_level, min_emit_level=min_emit_level,
+    )
+
+
 def covering_to_level(ids: np.ndarray, level: int) -> np.ndarray:
     """Normalize a mixed-level covering to single-level `level` cells by
     expanding descendants (cells already at `level` or deeper pass through
