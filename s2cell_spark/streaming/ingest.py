@@ -12,8 +12,18 @@ a file/memory source at sf0.001.
 
 from __future__ import annotations
 
+from typing import Iterator
+
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BooleanType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
 
 from s2cell_spark import functions as S2F
 
@@ -37,4 +47,62 @@ def streaming_cell_counts(
         )
         .agg(F.count("*").alias("n_pages"))
         .select(F.col("win.start").alias("window_start"), "cell_token", "n_pages")
+    )
+
+
+_FIRST_SEEN_OUT = StructType(
+    [
+        StructField("text_md5", StringType()),
+        StructField("doc_id", LongType()),
+        StructField("url", StringType()),
+    ]
+)
+_FIRST_SEEN_STATE = StructType([StructField("seen", BooleanType())])
+
+
+def streaming_first_seen(pages_stream: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Streaming exact dedup: emit each distinct ``md5(text)`` ONCE — the
+    first micro-batch that carries it wins; later occurrences (same batch
+    or any future batch) are suppressed by per-key state.
+
+    Custom stateful operator via ``applyInPandasWithState``: keyed by the
+    content hash (state store shuffles/partitions on it — scales out like
+    any keyed state), state is a single boolean per hash. Within the
+    winning batch the lowest ``doc_id`` is the canonical keeper, matching
+    the batch ``exact_dup_groups`` keeper rule.
+
+    At 10^12 pages the state store holds one tiny record per DISTINCT
+    document; bound it with a processing-time timeout (state TTL) if the
+    stream is unbounded and re-crawls are rare — dropping a key only risks
+    re-emitting a duplicate, never losing a document.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def first_seen(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            return
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        if rows.empty:
+            return
+        state.update((True,))
+        keeper = rows.sort_values(id_col).iloc[:1]
+        yield pd.DataFrame(
+            {
+                "text_md5": [key[0]],
+                "doc_id": keeper[id_col].to_numpy(),
+                "url": keeper["url"].to_numpy(),
+            }
+        )
+
+    keyed = pages_stream.select(
+        F.md5(F.col("text")).alias("text_md5"), F.col(id_col), F.col("url")
+    )
+    return keyed.groupBy("text_md5").applyInPandasWithState(
+        first_seen,
+        outputStructType=_FIRST_SEEN_OUT,
+        stateStructType=_FIRST_SEEN_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -223,3 +223,54 @@ def test_multimodal_features_deterministic(spark):
 
     frames = frame_sample_plan(media, every_ms=10000)
     assert frames.count() > 0
+
+
+def test_streaming_first_seen_dedups_across_batches(spark, tmp_path):
+    """applyInPandasWithState cross-batch dedup: duplicates of a text_md5
+    arriving in LATER micro-batches are suppressed by per-key state —
+    each distinct md5 is emitted exactly once, with a doc from its group."""
+    import glob
+    import shutil
+
+    from s2cell_spark.streaming.ingest import streaming_first_seen
+
+    pages = load_pages(spark, SF_SMOKE).select("doc_id", "url", "text")
+    src = str(tmp_path / "fs_src")
+    # batch 1: docs 0..N/2 ; batch 2: docs N/4..N (overlap => cross-batch
+    # duplicate text_md5s that MUST be suppressed)
+    n = pages.count()
+    pages.filter(F.col("doc_id") < n // 2).coalesce(1).write.mode("overwrite").parquet(src + "_a")
+    pages.filter(F.col("doc_id") >= n // 4).coalesce(1).write.mode("overwrite").parquet(src + "_b")
+    import os
+
+    os.makedirs(src)
+    shutil.copy(glob.glob(src + "_a/part-*.parquet")[0], src + "/batch_a.parquet")
+    shutil.copy(glob.glob(src + "_b/part-*.parquet")[0], src + "/batch_b.parquet")
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    out = streaming_first_seen(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("firstseen")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.sql("select text_md5, doc_id from firstseen").collect()
+
+    whole = spark.read.parquet(src).select(
+        F.md5("text").alias("text_md5"), "doc_id"
+    )
+    groups = {}
+    for r in whole.collect():
+        groups.setdefault(r["text_md5"], set()).add(r["doc_id"])
+    # exactly one emission per distinct md5 (state suppressed re-arrivals)
+    assert sorted(r["text_md5"] for r in got) == sorted(groups)
+    # and the keeper belongs to that md5's group
+    assert all(r["doc_id"] in groups[r["text_md5"]] for r in got)
+    assert len(got) < whole.count()  # the overlap really contained dups
