@@ -318,7 +318,31 @@ def _q_bitops(spark: SparkSession, sf_dir: str) -> DataFrame:
         tok.alias("token"),
         S2F.token_to_cell_id(tok).cast("long").alias("token_rt"),
         S2F.token_to_canonical_token(F.upper(tok)).alias("canon"),
+        S2F.token_is_valid(F.upper(tok)).alias("tok_valid"),
         S2F.cell_id_sortable(F.col("cell_id")).cast("long").alias("sortable"),
+    )
+
+
+def _q_cell_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode surface: every page's cell truncated to a per-row mixed
+    level (doc_id % 31 — exercises levels 0..30 incl. leaf), decoded to
+    the cell-center lat/lon. Compared at fixed-point 1e-7 degrees: numpy
+    and DuckDB atan2 differ in the last ulps (~4e-14 deg, inside the
+    reference's own 1e-12 gate), so raw doubles would be flaky but 1e-7
+    fixed point is deterministic."""
+    from s2cell_spark import functions as S2F
+
+    pages = _pages_with_cells(spark, sf_dir)
+    lvl = F.pmod(F.col("doc_id"), F.lit(31)).cast("int")
+    mixed = S2F.cell_id_to_parent_cell_id(F.col("cell_id"), lvl)
+    out = pages.withColumn("cell_mixed", mixed).withColumn(
+        "ll", S2F.cell_id_to_lat_lon(F.col("cell_mixed"))
+    )
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("cell_mixed").cast("long").alias("cell_mixed"),
+        F.floor(F.col("ll.lat") * F.lit(10000000.0)).cast("long").alias("lat_e7"),
+        F.floor(F.col("ll.lon") * F.lit(10000000.0)).cast("long").alias("lon_e7"),
     )
 
 
@@ -523,6 +547,7 @@ def _q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s2_bitops": _q_bitops,
+        "cell_decode": _q_cell_decode,
         "events_window_1h": _q_events_window,
         "pip_boxes_equi": _q_pip("equi"),
         "pip_boxes_range": _q_pip("range"),
@@ -680,6 +705,7 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
        + CAST(concat('0x', substr(padded, 9, 8)) AS BIGINT) AS BIGINT) AS token_rt,
   (CASE WHEN regexp_replace(trim(lower(upper(token))), '0+$', '') IN ('', 'x') THEN 'X'
         ELSE regexp_replace(trim(lower(upper(token))), '0+$', '') END) AS canon,
+  (regexp_full_match(upper(token), '[0-9a-fA-F]{{1,16}}') AND is_valid) AS tok_valid,
   xor(cell_id, -9223372036854775808) AS sortable
 FROM w
 """
@@ -714,6 +740,27 @@ def _hier_rollup_oracle() -> str:
     return f"""{_PAGES_CTE},
 {H.leaf_bits_cte(source="pages", max_level=max(levels))}
 {arms}
+"""
+
+
+def _cell_decode_oracle() -> str:
+    """Encode (8 rounds) -> per-row mixed-level truncation -> full decode
+    (8 inverse rounds, Si/Ti center correction, ST->UV->XYZ->atan2), all
+    re-derived in DuckDB from the two embedded lookup tables."""
+    from s2cell_spark.functions import hilbert_sql as H
+
+    lsb = "(CAST(1 AS BIGINT) << CAST(2 * (30 - doc_id % 31) AS INT))"
+    return f"""{_PAGES_CTE},
+{H.leaf_bits_cte(source="pages", max_level=30)},
+mixed AS (
+  SELECT doc_id, ((cell_trunc0 & -{lsb}) | {lsb}) AS cell_id FROM s2enc
+),
+{H.decode_cte(source="mixed")}
+SELECT CAST(m.doc_id AS BIGINT) AS doc_id,
+       CAST(m.cell_id AS BIGINT) AS cell_mixed,
+       CAST(floor(d.lat * 10000000.0e0) AS BIGINT) AS lat_e7,
+       CAST(floor(d.lon * 10000000.0e0) AS BIGINT) AS lon_e7
+FROM mixed m JOIN s2dec d ON d.doc_id = m.doc_id
 """
 
 
@@ -1011,6 +1058,7 @@ def oracle_sql() -> dict[str, str]:
     pip = _pip_oracle()
     return {
         "s2_bitops": _bitops_oracle(),
+        "cell_decode": _cell_decode_oracle(),
         "events_window_1h": _events_window_oracle(),
         "pip_boxes_equi": pip,
         "pip_boxes_range": pip,

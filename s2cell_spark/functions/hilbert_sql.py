@@ -156,3 +156,76 @@ def token_sql(cell: str) -> str:
 def flip_sortable_sql(cell: str) -> str:
     """Order-preserving sortable form: flip the sign bit (SURVEY.md §1.2)."""
     return f"xor({cell}, {-(1 << 63)})"
+
+
+def lookup_ij_values() -> str:
+    """The inverse (LOOKUP_IJ) table as a SQL VALUES body."""
+    return ", ".join(f"({k},{int(v)})" for k, v in enumerate(kernels.LOOKUP_IJ))
+
+
+def decode_cte(source: str = "cells", cell_col: str = "cell_id") -> str:
+    """CTE chain ``lutij, ..., s2dec`` computing, per row of `source`
+    (needs doc_id and a valid `cell_col` BIGINT), the cell-CENTER
+    ``lat``/``lon`` in degrees — the full inverse pipeline
+    (s2cell/s2cell.py:708-771): 8 inverse lookup rounds -> Si/Ti with
+    leaf/parity center correction -> quadratic ST->UV -> XYZ -> atan2.
+
+    Arithmetic notes: `>>` on negative BIGINT is an arithmetic shift, but
+    every shift here is immediately masked, so sign-extension bits never
+    survive; i/j accumulate below 2^30 so all sums stay in range.
+    """
+    rounds = []
+    prev = source
+    prev_orient = f"(({cell_col} >> 61) & 1)"
+    prev_i, prev_j = "0", "0"
+    for k in range(7, -1, -1):
+        mask = 15 if k == 7 else 255
+        rounds.append(
+            f"s2d{k} AS (\n"
+            f"  SELECT doc_id, {cell_col},\n"
+            f"    lutij.v AS b{k},\n"
+            f"    {prev_i} + ((CAST(lutij.v AS BIGINT) >> 6) << {4 * k}) AS i{k},\n"
+            f"    {prev_j} + (((CAST(lutij.v AS BIGINT) >> 2) & 15) << {4 * k}) AS j{k}\n"
+            f"  FROM {prev} JOIN lutij\n"
+            f"    ON lutij.k = {prev_orient} + ((({cell_col} >> {k * 8 + 1}) & {mask}) << 2)\n"
+            f")"
+        )
+        prev = f"s2d{k}"
+        prev_orient = f"(b{k} & 3)"
+        prev_i, prev_j = f"i{k}", f"j{k}"
+    rounds_sql = ",\n".join(rounds)
+
+    return f"""lutij(k, v) AS (VALUES {lookup_ij_values()}),
+{rounds_sql},
+s2sit AS (
+  SELECT doc_id, {cell_col},
+    ({cell_col} >> 61) & 7 AS face,
+    2 * i0 + (CASE WHEN ({cell_col} & 1) = 1 THEN 1
+                   WHEN (xor(i0, {cell_col} >> 2) & 1) = 1 THEN 2 ELSE 0 END) AS si,
+    2 * j0 + (CASE WHEN ({cell_col} & 1) = 1 THEN 1
+                   WHEN (xor(i0, {cell_col} >> 2) & 1) = 1 THEN 2 ELSE 0 END) AS ti
+  FROM s2d0
+),
+s2uvd AS (
+  SELECT doc_id, face,
+    CASE WHEN (1.0e0 / 2147483648.0e0) * CAST(si AS DOUBLE) >= 0.5e0
+         THEN (1.0e0 / 3.0e0) * (4.0e0 * ((1.0e0 / 2147483648.0e0) * CAST(si AS DOUBLE)) * ((1.0e0 / 2147483648.0e0) * CAST(si AS DOUBLE)) - 1.0e0)
+         ELSE (1.0e0 / 3.0e0) * (1.0e0 - 4.0e0 * (1.0e0 - (1.0e0 / 2147483648.0e0) * CAST(si AS DOUBLE)) * (1.0e0 - (1.0e0 / 2147483648.0e0) * CAST(si AS DOUBLE))) END AS u,
+    CASE WHEN (1.0e0 / 2147483648.0e0) * CAST(ti AS DOUBLE) >= 0.5e0
+         THEN (1.0e0 / 3.0e0) * (4.0e0 * ((1.0e0 / 2147483648.0e0) * CAST(ti AS DOUBLE)) * ((1.0e0 / 2147483648.0e0) * CAST(ti AS DOUBLE)) - 1.0e0)
+         ELSE (1.0e0 / 3.0e0) * (1.0e0 - 4.0e0 * (1.0e0 - (1.0e0 / 2147483648.0e0) * CAST(ti AS DOUBLE)) * (1.0e0 - (1.0e0 / 2147483648.0e0) * CAST(ti AS DOUBLE))) END AS v
+  FROM s2sit
+),
+s2xyzd AS (
+  SELECT doc_id,
+    CASE face WHEN 0 THEN 1.0e0 WHEN 1 THEN -u WHEN 2 THEN -u WHEN 3 THEN -1.0e0 WHEN 4 THEN v ELSE v END AS x,
+    CASE face WHEN 0 THEN u WHEN 1 THEN 1.0e0 WHEN 2 THEN -v WHEN 3 THEN -v WHEN 4 THEN -1.0e0 ELSE u END AS y,
+    CASE face WHEN 0 THEN v WHEN 1 THEN v WHEN 2 THEN 1.0e0 WHEN 3 THEN -u WHEN 4 THEN -u ELSE -1.0e0 END AS z
+  FROM s2uvd
+),
+s2dec AS (
+  SELECT doc_id,
+    degrees(atan2(z, sqrt(x * x + y * y))) AS lat,
+    degrees(atan2(y, x)) AS lon
+  FROM s2xyzd
+)"""
