@@ -390,6 +390,40 @@ def _q_neighbor_symmetry(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_neighbors_interior(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 4 edge neighbors of every face-interior level-8 page cell, in
+    the reference's down/right/up/left order — value-checked against a
+    DuckDB oracle that re-derives each neighbor by corner-IJ offset +
+    re-encode through the embedded Hilbert table. (Face-boundary cells
+    exercise the wrap path, which is fuzz-tested against the reference
+    library directly — reprojection trig is not SQL-replicable.)"""
+    from s2cell_spark import functions as S2F
+
+    size = 1 << (30 - CELL_LEVEL)
+    pages = _pages_with_cells(spark, sf_dir)
+    cells = pages.select(
+        S2F.cell_id_to_parent_cell_id(F.col("cell_id"), CELL_LEVEL).alias("cell")
+    ).distinct()
+    withf = cells.withColumn("fij", S2F.s2_cell_id_to_face_ij(F.col("cell"))).filter(
+        (F.col("fij.i") >= size)
+        & (F.col("fij.i") < (1 << 30) - size)
+        & (F.col("fij.j") >= size)
+        & (F.col("fij.j") < (1 << 30) - size)
+    )
+    nbrs = withf.withColumn(
+        "nbrs", S2F.neighbor_cell_ids(F.col("cell"), edge=True, corner=False)
+    )
+    out = nbrs.select(
+        S2F.cell_id_to_token(F.col("cell")).alias("cell_token"),
+        F.posexplode("nbrs").alias("dir", "nbr"),
+    )
+    return out.select(
+        "cell_token",
+        F.col("dir").cast("long").alias("dir"),
+        S2F.cell_id_to_token(F.col("nbr")).alias("nbr_token"),
+    )
+
+
 def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from s2cell_spark.operators.dedup import exact_dup_groups
 
@@ -559,6 +593,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hierarchical_rollup": _q_hierarchical_rollup,
         "s2_roundtrip_invariants": _q_roundtrip,
         "neighbor_symmetry": _q_neighbor_symmetry,
+        "neighbors_interior": _q_neighbors_interior,
         "dedup_exact": _q_dedup_exact,
         "jaccard_pairs": _q_jaccard_pairs,
         "minhash_near_dups": _q_minhash_near_dups,
@@ -1032,6 +1067,35 @@ FROM scored WHERE rnk <= {ANN_K}
 """
 
 
+def _neighbors_oracle() -> str:
+    """Neighbors by independent construction: pages -> leaf IJ (SQL trig)
+    -> level-8 corner -> ±size offsets for the 4 edge directions (in the
+    reference's down/right/up/left order) -> re-encode each through the
+    Hilbert rounds -> tokens."""
+    from s2cell_spark.functions import hilbert_sql as H
+
+    size = 1 << (30 - CELL_LEVEL)
+    top = 1 << 30
+    tok = H.token_sql(H.truncate_sql(CELL_LEVEL))
+    return f"""{_PAGES_CTE},
+{H.leaf_bits_cte(source="pages", max_level=CELL_LEVEL)},
+cells8 AS (
+  SELECT DISTINCT face, i & -{size} AS ci, j & -{size} AS cj
+  FROM s2ij
+  WHERE i >= {size} AND i < {top - size} AND j >= {size} AND j < {top - size}
+),
+dirs(dir, di, dj) AS (VALUES (-1, 0, 0), (0, 0, -{size}), (1, {size}, 0), (2, 0, {size}), (3, -{size}, 0)),
+nbr_ij AS (
+  SELECT face, ci, cj, dir, ci + di AS i, cj + dj AS j FROM cells8 CROSS JOIN dirs
+),
+{H.encode_rounds_ctes("nbr_ij", CELL_LEVEL, prefix="nb", out="nbenc", carry_cols=("ci", "cj", "dir"))},
+toks AS (SELECT face, ci, cj, dir, {tok} AS tok FROM nbenc)
+SELECT c.tok AS cell_token, CAST(n.dir AS BIGINT) AS dir, n.tok AS nbr_token
+FROM toks n JOIN toks c ON c.face = n.face AND c.ci = n.ci AND c.cj = n.cj AND c.dir = -1
+WHERE n.dir >= 0
+"""
+
+
 def _dedup_oracle() -> str:
     return (
         "SELECT md5(text) AS text_md5, CAST(count(*) AS BIGINT) AS n_docs, "
@@ -1070,6 +1134,7 @@ def oracle_sql() -> dict[str, str]:
         "hierarchical_rollup": _hier_rollup_oracle(),
         "s2_roundtrip_invariants": _roundtrip_oracle(),
         "neighbor_symmetry": "SELECT CAST(0 AS BIGINT) AS n_asym",
+        "neighbors_interior": _neighbors_oracle(),
         "dedup_exact": _dedup_oracle(),
         "jaccard_pairs": _jaccard_oracle(),
         "minhash_near_dups": _minhash_oracle(),

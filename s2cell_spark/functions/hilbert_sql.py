@@ -56,6 +56,51 @@ def required_rounds(level: int) -> int:
     return math.ceil((level + 2) / 4)
 
 
+def encode_rounds_ctes(
+    ij_source: str,
+    max_level: int,
+    prefix: str = "s2r",
+    out: str = "s2enc",
+    carry_cols: tuple = ("doc_id",),
+) -> str:
+    """CTE chain ``{prefix}7.., {out}`` running the Hilbert lookup rounds
+    over `ij_source` rows (needs `carry_cols` + face, i, j; i/j are LEAF
+    coordinates) and emitting ``cell_trunc0``. Requires a ``lut`` CTE
+    (:func:`lookup_pos_values`) in scope. Reused by both the lat/lon
+    encode and the face/IJ re-encode (neighbor oracle)."""
+    rounds = required_rounds(max_level)
+    ks = list(range(7, 7 - rounds, -1))  # e.g. [7, 6, 5]
+    keys = ", ".join(carry_cols)
+
+    round_ctes = []
+    prev = ij_source
+    prev_orient = "(face & 1)"  # initial orientation = face & SWAP (s2cell/s2cell.py:455)
+    for k in ks:
+        carry = ", ".join(f"p{kk}" for kk in ks if kk > k)
+        carry = carry + ", " if carry else ""
+        round_ctes.append(
+            f"{prefix}{k} AS (\n"
+            f"  SELECT {keys}, face, i, j, {carry}CAST(lut.v AS BIGINT) >> 2 AS p{k}, lut.v & 3 AS o{k}\n"
+            f"  FROM {prev} JOIN lut\n"
+            f"    ON lut.k = {prev_orient} + ((i >> {4 * k}) & 15) * 64 + ((j >> {4 * k}) & 15) * 4\n"
+            f")"
+        )
+        prev = f"{prefix}{k}"
+        prev_orient = f"o{k}"
+
+    # position bits: round k contributes p_k << 8k, then the whole position
+    # is shifted left once for the trailing-bit slot -> p_k * 2^(8k+1)
+    pos_terms = " + ".join(f"p{k} * {1 << (8 * k + 1)}" for k in ks)
+    rounds_sql = ",\n".join(round_ctes)
+    return f"""{rounds_sql},
+{out} AS (
+  SELECT {keys}, face,
+    (face - CASE WHEN face >= 4 THEN 8 ELSE 0 END) * {1 << 61}
+    + {pos_terms} AS cell_trunc0
+  FROM {prev}
+)"""
+
+
 def leaf_bits_cte(source: str = "pages", max_level: int = 8) -> str:
     """CTE chain ``lut, ..., s2enc`` computing, per row of `source`
     (needs doc_id, lat, lon), the column ``cell_trunc0`` — the cell ID
@@ -63,30 +108,6 @@ def leaf_bits_cte(source: str = "pages", max_level: int = 8) -> str:
     zero and NO trailing bit yet. Apply :func:`truncate_sql` for any
     level <= max_level.
     """
-    rounds = required_rounds(max_level)
-    ks = list(range(7, 7 - rounds, -1))  # e.g. [7, 6, 5]
-
-    round_ctes = []
-    prev = "s2ij"
-    prev_orient = "(face & 1)"  # initial orientation = face & SWAP (s2cell/s2cell.py:455)
-    for k in ks:
-        carry = ", ".join(f"p{kk}" for kk in ks if kk > k)
-        carry = carry + ", " if carry else ""
-        round_ctes.append(
-            f"s2r{k} AS (\n"
-            f"  SELECT doc_id, face, i, j, {carry}CAST(lut.v AS BIGINT) >> 2 AS p{k}, lut.v & 3 AS o{k}\n"
-            f"  FROM {prev} JOIN lut\n"
-            f"    ON lut.k = {prev_orient} + ((i >> {4 * k}) & 15) * 64 + ((j >> {4 * k}) & 15) * 4\n"
-            f")"
-        )
-        prev = f"s2r{k}"
-        prev_orient = f"o{k}"
-
-    # position bits: round k contributes p_k << 8k, then the whole position
-    # is shifted left once for the trailing-bit slot -> p_k * 2^(8k+1)
-    pos_terms = " + ".join(f"p{k} * {1 << (8 * k + 1)}" for k in ks)
-    rounds_sql = ",\n".join(round_ctes)
-
     return f"""lut(k, v) AS (VALUES {lookup_pos_values()}),
 s2xyz AS (
   SELECT doc_id,
@@ -132,13 +153,7 @@ s2ij AS (
     CAST(least(1073741823.0e0, greatest(0.0e0, floor(1073741824.0e0 * t))) AS BIGINT) AS j
   FROM s2st
 ),
-{rounds_sql},
-s2enc AS (
-  SELECT doc_id,
-    (face - CASE WHEN face >= 4 THEN 8 ELSE 0 END) * {1 << 61}
-    + {pos_terms} AS cell_trunc0
-  FROM {prev}
-)"""
+{encode_rounds_ctes("s2ij", max_level)}"""
 
 
 def truncate_sql(level: int, col: str = "cell_trunc0") -> str:
