@@ -70,10 +70,20 @@ def make_spark(cores: int, shuffle_partitions: int | None = None):
 def run_default() -> None:
     import __spark_entry__ as E
 
+    from pyspark.sql import functions as _F
+
+    from s2cell_spark import functions as _S2F
+
     spark = make_spark(CPUS)
     spark.sparkContext.setLogLevel("ERROR")
     qs = E.queries()
     n_pages = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    # warm every python worker (numpy/pandas imports) so the first
+    # UDF-bearing query's timing is the query, not worker spin-up
+    warm = spark.range(CPUS * 4).repartition(CPUS * 4).withColumn(
+        "lat", (_F.col("id") % 90).cast("double")
+    )
+    warm.select(_S2F.s2_lat_lon_to_cell_id(_F.col("lat"), _F.col("lat"), _F.lit(30))).count()
     timings: dict[str, float] = {}
     t_all = time.time()
     for name in HEADLINE:

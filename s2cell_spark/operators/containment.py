@@ -66,11 +66,39 @@ def normalized_coverings_df(
     spark: SparkSession, regions: dict[int, np.ndarray], level: int
 ) -> DataFrame:
     """(region_id, cov_cell) at a single level — the broadcast side of the
-    equi strategy. Build once per query; reusable across executions."""
-    norm = {rid: COV.covering_to_level(cells, level) for rid, cells in regions.items()}
-    return coverings_df(spark, norm).withColumnRenamed("cell_id", "cov_cell").select(
-        "region_id", "cov_cell"
+    equi strategy. Build once per query; reusable across executions.
+
+    Only the (small) mixed-level covering ships driver->JVM; the expansion
+    to 4^(level - l) single-level descendants runs NATIVELY via
+    ``explode(sequence(first_child, last_child, step))`` — level-L cells
+    under an ancestor are consecutive IDs exactly ``2*lsb(L)`` apart
+    (SURVEY.md §1.1 range property). Shipping the expanded set instead
+    (10^5+ rows through the driver) costs seconds per query and grows
+    with covering size; this stays proportional to the RAW covering.
+    Signed-long order is safe: a covering cell's descendants share its
+    face, so the sequence never crosses the face-3/4 sign boundary.
+    """
+    cov_raw = coverings_df(spark, regions)  # mixed levels, small
+    lsb = 1 << (2 * (30 - level))
+    step = 2 * lsb
+    cell = F.col("cell_id")
+    shallow = cov_raw.filter(F.col("level") <= level).select(
+        "region_id",
+        F.explode(
+            F.sequence(
+                S2F.cell_id_range_min(cell).bitwiseAND(-lsb).bitwiseOR(lsb),
+                S2F.cell_id_range_max(cell).bitwiseAND(-lsb).bitwiseOR(lsb),
+                F.lit(step),
+            )
+        ).alias("cov_cell"),
     )
+    deep = cov_raw.filter(F.col("level") > level).select(
+        "region_id",
+        S2F.cell_id_to_parent_cell_id(cell, level).alias("cov_cell"),
+    )
+    # mixed-level coverings are disjoint, so only the deep->parent arm can
+    # produce duplicates
+    return shallow.unionByName(deep.dropDuplicates(["region_id", "cov_cell"]))
 
 
 def containment_join_equi(
@@ -116,11 +144,8 @@ def containment_join_salted(
     replicated per salt via ``explode(sequence(...))``. Row-identical to
     the unsalted join.
     """
-    norm = {rid: COV.covering_to_level(cells, level) for rid, cells in regions.items()}
-    cov = (
-        coverings_df(spark, norm)
-        .withColumnRenamed("cell_id", "cov_cell")
-        .withColumn("salt", F.explode(F.sequence(F.lit(0), F.lit(num_salts - 1))))
+    cov = normalized_coverings_df(spark, regions, level).withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(num_salts - 1)))
     )
     key = S2F.cell_id_to_parent_cell_id(F.col(cell_col), level)
     salted = pages.withColumn(

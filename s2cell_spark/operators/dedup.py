@@ -34,19 +34,55 @@ def words_col(text=None):
     return F.filter(F.split(F.lower(src), WORD_SPLIT_RE), lambda w: w != "")
 
 
+def shingles_from_words(ws, n: int = 3):
+    """n-word shingles (space-joined) from a words-array expression.
+
+    Built from n shifted ``slice``s folded with ``zip_with`` — whole-array
+    ops that evaluate `ws` O(n) times per row. The naive form (transform
+    over an index sequence with element_at per position) evaluates `ws`
+    per ELEMENT: CollapseProject re-inlines the words expression into the
+    lambda, codegen does not common-subexpression-eliminate through
+    lambdas, and the regex split re-runs O(words * n) times per document
+    (measured 9s -> 0.5s on 5000 docs for this one change)."""
+    sz = F.greatest(F.size(ws) - (n - 1), F.lit(0))
+    out = F.slice(ws, 1, sz)
+    for k in range(1, n):
+        out = F.zip_with(
+            out, F.slice(ws, k + 1, sz), lambda a, b: F.concat(a, F.lit(" "), b)
+        )
+    return out
+
+
 def shingles_col(text=None, n: int = 3):
     """Array of n-word shingles (space-joined), the near-dup unit.
 
     Word-level Jaccard saturates on small vocabularies (any two long docs
     share most WORDS); n-gram shingles keep the signal discriminative.
     DuckDB mirror: ``list_transform(range(1, len(ws)-1), i ->
-    ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])``."""
-    ws = words_col(text)
-    idx = F.sequence(F.lit(1), F.greatest(F.size(ws) - (n - 1), F.lit(0)))
-    return F.when(F.size(ws) >= n, F.transform(
-        idx,
-        lambda i: F.concat_ws(" ", *[F.element_at(ws, (i + k).cast("int")) for k in range(n)]),
-    )).otherwise(F.array().cast("array<string>"))
+    ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])``.
+
+    NB inline use re-splits per element (see shingles_from_words) — fine
+    for one-off column math, wrong inside hot per-doc pipelines; the
+    operators below stage the words array in a projection first."""
+    return shingles_from_words(words_col(text), n)
+
+
+def shingled_docs(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(doc, ws) with ws = DISTINCT shingle set, docs with >= 1 shingle.
+    Two-step projection so the words array materializes once per row, and
+    repartitioned to full parallelism when the source is under-split (a
+    single-row-group parquet file otherwise serializes all parsing onto
+    one task — at 100 TB file counts provide the splits and the guard is
+    a no-op)."""
+    narrow = docs.select(F.col(id_col).alias("doc"), F.col("text"))
+    target = docs.sparkSession.sparkContext.defaultParallelism
+    if narrow.rdd.getNumPartitions() < target:
+        narrow = narrow.repartition(target)
+    return (
+        narrow.select("doc", words_col().alias("wsa"))
+        .select("doc", F.array_distinct(shingles_from_words(F.col("wsa"))).alias("ws"))
+        .filter(F.size("ws") > 0)
+    )
 
 
 def exact_dup_groups(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -64,35 +100,51 @@ def jaccard_pairs_exact(
     """All doc pairs (a < b) with 3-gram-shingle-SET Jaccard >= threshold
     (basis points; floor of double division — identical in DuckDB).
 
-    Plan: distinct (doc, shingle) -> self equi-join on shingle (the only
-    shuffle, keyed on shingle) -> pair intersection counts -> join per-doc
-    set sizes -> ``floor(10000*inter/(|A|+|B|-inter)) >= threshold_bp``.
+    ONE scan of the corpus (the text parse is the expensive part — a
+    self-join formulation would recompute it per join side), two shuffles:
+    each doc's set size rides along with its exploded shingles, docs
+    sharing a shingle group into a sorted list, pair combinations unfold
+    natively, and a final pair-key aggregate counts intersections —
+    sizes arrive with the pairs, so no sizes join at the end.
     Shingle keys are Zipf-skewed; at scale add a document-frequency cap
     (drop shingles appearing in > X% of docs) via one pre-aggregate — it
-    leaves high-Jaccard pairs intact and removes the hot join keys.
+    leaves high-Jaccard pairs intact and removes the hot group keys.
     """
-    dw = docs.select(
-        F.col(id_col).alias("doc"), F.explode(shingles_col()).alias("w")
-    ).distinct()
-    sizes = dw.groupBy("doc").agg(F.count("*").alias("sz"))
-    a = dw.alias("a")
-    b = dw.alias("b")
-    inter = (
-        a.join(b, on="w")
-        .filter(F.col("a.doc") < F.col("b.doc"))
-        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
-        .agg(F.count("*").alias("inter"))
+    base = shingled_docs(docs, id_col)
+    dw = base.select("doc", F.size("ws").alias("sz"), F.explode("ws").alias("w"))
+    per_s = dw.groupBy("w").agg(
+        F.array_sort(F.collect_list(F.struct("doc", "sz"))).alias("ds")
+    )
+    # all ordered pairs from each shingle's (sorted) doc list, natively:
+    # flatten(transform(ds, (x, i) -> transform(slice-after-i, y -> pair)))
+    pair = F.flatten(
+        F.transform(
+            F.col("ds"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ds"), i + F.lit(2), F.size("ds")),
+                lambda y: F.struct(
+                    x["doc"].alias("doc_a"),
+                    y["doc"].alias("doc_b"),
+                    x["sz"].alias("sz_a"),
+                    y["sz"].alias("sz_b"),
+                ),
+            ),
+        )
+    )
+    pairs = per_s.select(F.explode(pair).alias("p")).select("p.*")
+    agg = pairs.groupBy("doc_a", "doc_b").agg(
+        F.count("*").alias("inter"),
+        F.first("sz_a").alias("sz_a"),
+        F.first("sz_b").alias("sz_b"),
     )
     return (
-        inter.join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("sz", "sz_a"), on="doc_a")
-        .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("sz", "sz_b"), on="doc_b")
-        .withColumn(
+        agg.withColumn(
             "jacc_bp",
-            (F.lit(10000) * F.col("inter"))
-            .cast("long")
-            / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+            F.floor(
+                (F.lit(10000) * F.col("inter")).cast("long")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+            ).cast("long"),
         )
-        .withColumn("jacc_bp", F.floor(F.col("jacc_bp")).cast("long"))
         .filter(F.col("jacc_bp") >= threshold_bp)
         .select("doc_a", "doc_b", "jacc_bp")
     )
@@ -140,7 +192,7 @@ def minhash_signatures(
     partial mins; the only shuffle is the per-doc groupBy). Docs with < 3
     words have no shingles, hence no signature row and never pair."""
     a, b = minhash_params(num_perm)
-    sh = docs.select(F.col(id_col).alias("doc"), F.explode(shingles_col()).alias("s"))
+    sh = shingled_docs(docs, id_col).select("doc", F.explode("ws").alias("s"))
     h = shingle_hash_expr("s")
     mins = [
         F.min((F.lit(a[i]) * h + F.lit(b[i])) % F.lit(MINHASH_PRIME)).alias(f"m{i}")
@@ -203,9 +255,7 @@ def minhash_near_dup_pairs(
     only on the candidate pairs via array intersection — no shared-shingle
     join)."""
     cand = minhash_lsh_candidates(docs, num_perm, bands, id_col)
-    wsets = docs.select(
-        F.col(id_col).alias("doc"), F.array_distinct(shingles_col()).alias("ws")
-    )
+    wsets = shingled_docs(docs, id_col)
     joined = (
         cand.join(wsets.withColumnRenamed("doc", "doc_a").withColumnRenamed("ws", "ws_a"), on="doc_a")
         .join(wsets.withColumnRenamed("doc", "doc_b").withColumnRenamed("ws", "ws_b"), on="doc_b")
@@ -244,9 +294,11 @@ def simhash(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     Entirely native: explode words -> 65 hash aggregates -> fold the 64
     majority votes back into one long. Ties (exactly half) -> 0.
     """
-    exploded = docs.select(
-        F.col(id_col).alias("doc_id"), F.explode(words_col()).alias("w")
-    )
+    narrow = docs.select(F.col(id_col).alias("doc_id"), F.col("text"))
+    target = docs.sparkSession.sparkContext.defaultParallelism
+    if narrow.rdd.getNumPartitions() < target:
+        narrow = narrow.repartition(target)
+    exploded = narrow.select("doc_id", F.explode(words_col()).alias("w"))
     agg = exploded.groupBy("doc_id").agg(*simhash_bit_exprs())
     fp = F.lit(0).cast("long")
     for bit in range(64):
