@@ -390,6 +390,28 @@ def _q_neighbor_symmetry(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_sql_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The spark.sql registered-function surface (udfs.register_sql_functions):
+    pure-SQL users encode/token/level without touching the DataFrame API."""
+    from s2cell_spark.functions.udfs import register_sql_functions
+
+    register_sql_functions(spark)
+    load_pages(spark, sf_dir).createOrReplaceTempView("s2_pages_v")
+    out = spark.sql(
+        """
+        SELECT doc_id,
+               s2_cell_id_to_token(s2_lat_lon_to_cell_id(lat, lon, 12)) AS token12,
+               s2_cell_id_to_level(s2_lat_lon_to_cell_id(lat, lon, 12)) AS lvl
+        FROM s2_pages_v
+        """
+    )
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "token12",
+        F.col("lvl").cast("long").alias("lvl"),
+    )
+
+
 def _q_neighbors_interior(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 4 edge neighbors of every face-interior level-8 page cell, in
     the reference's down/right/up/left order — value-checked against a
@@ -594,6 +616,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s2_roundtrip_invariants": _q_roundtrip,
         "neighbor_symmetry": _q_neighbor_symmetry,
         "neighbors_interior": _q_neighbors_interior,
+        "sql_api": _q_sql_api,
         "dedup_exact": _q_dedup_exact,
         "jaccard_pairs": _q_jaccard_pairs,
         "minhash_near_dups": _q_minhash_near_dups,
@@ -1067,6 +1090,18 @@ FROM scored WHERE rnk <= {ANN_K}
 """
 
 
+def _sql_api_oracle() -> str:
+    from s2cell_spark.functions import hilbert_sql as H
+
+    return f"""{_PAGES_CTE},
+{H.leaf_bits_cte(source="pages", max_level=12)}
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       {H.token_sql(H.truncate_sql(12))} AS token12,
+       CAST(12 AS BIGINT) AS lvl
+FROM s2enc
+"""
+
+
 def _neighbors_oracle() -> str:
     """Neighbors by independent construction: pages -> leaf IJ (SQL trig)
     -> level-8 corner -> ±size offsets for the 4 edge directions (in the
@@ -1135,6 +1170,7 @@ def oracle_sql() -> dict[str, str]:
         "s2_roundtrip_invariants": _roundtrip_oracle(),
         "neighbor_symmetry": "SELECT CAST(0 AS BIGINT) AS n_asym",
         "neighbors_interior": _neighbors_oracle(),
+        "sql_api": _sql_api_oracle(),
         "dedup_exact": _dedup_oracle(),
         "jaccard_pairs": _jaccard_oracle(),
         "minhash_near_dups": _minhash_oracle(),

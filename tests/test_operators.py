@@ -274,3 +274,28 @@ def test_streaming_first_seen_dedups_across_batches(spark, tmp_path):
     # and the keeper belongs to that md5's group
     assert all(r["doc_id"] in groups[r["text_md5"]] for r in got)
     assert len(got) < whole.count()  # the overlap really contained dups
+
+
+def test_native_covering_expansion_matches_numpy(spark):
+    """normalized_coverings_df's explode(sequence(...)) expansion must
+    equal the numpy covering_to_level expansion cell-for-cell — including
+    negative-long (face >= 4) coverings."""
+    import numpy as np
+
+    from s2cell_spark.operators import covering as COV
+    from s2cell_spark.operators.containment import normalized_coverings_df
+
+    regions = {
+        0: COV.latlng_rect_covering(10.0, 25.0, 30.0, 55.0, max_level=8),
+        1: COV.latlng_rect_covering(-40.0, -20.0, 110.0, 155.0, max_level=8),  # faces 4/5
+    }
+    native = {
+        (r["region_id"], r["cov_cell"])
+        for r in normalized_coverings_df(spark, regions, 8).collect()
+    }
+    want = {
+        (rid, int(np.int64(np.uint64(c))))
+        for rid, cells in regions.items()
+        for c in COV.covering_to_level(cells, 8)
+    }
+    assert native == want and len(want) > 100
