@@ -446,6 +446,58 @@ def _q_neighbors_interior(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_cell_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatio-temporal composition: pages per (level-6 cell, crawl hour)
+    — the batch shape of a streaming per-cell windowed count with the S2
+    key derived in-engine."""
+    from s2cell_spark import functions as S2F
+
+    pages = _pages_with_cells(spark, sf_dir)
+    parent = S2F.cell_id_to_parent_cell_id(F.col("cell_id"), 6)
+    return (
+        pages.groupBy(
+            S2F.cell_id_to_token(parent).alias("cell_token"),
+            F.date_trunc("hour", F.col("warc_ts")).alias("hour_start"),
+        )
+        .agg(F.count("*").alias("n_pages"))
+        .select("cell_token", "hour_start", F.col("n_pages").cast("long").alias("n_pages"))
+    )
+
+
+def _q_top_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-20 busiest mercator tiles (TakeOrderedAndProject path:
+    orderBy + limit with a deterministic tie-break)."""
+    from s2cell_spark.operators.tiling import tile_heatmap
+
+    out = tile_heatmap(load_pages(spark, sf_dir), TILE_ZOOM)
+    return (
+        out.orderBy(F.col("n_pages").desc(), "tile_x", "tile_y")
+        .limit(20)
+        .select(
+            F.col("tile_x").cast("long").alias("tile_x"),
+            F.col("tile_y").cast("long").alias("tile_y"),
+            F.col("n_pages").cast("long").alias("n_pages"),
+        )
+    )
+
+
+def _q_lang_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-sets rollup over (lang, mercator tile_x band): per-lang,
+    per-band, and grand totals in one pass (partial aggregation + a
+    single expand — the relational rollup surface)."""
+    from s2cell_spark.operators.tiling import mercator_tile
+
+    pages = load_pages(spark, sf_dir)
+    tx, _ = mercator_tile(F.col("lat"), F.col("lon"), 3)
+    base = pages.select(F.col("lang"), tx.alias("band"))
+    out = base.rollup("lang", "band").agg(F.count("*").alias("n_pages"))
+    return out.select(
+        F.coalesce(F.col("lang"), F.lit("<all>")).alias("lang"),
+        F.coalesce(F.col("band").cast("long"), F.lit(-1)).alias("band"),
+        F.col("n_pages").cast("long").alias("n_pages"),
+    )
+
+
 def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from s2cell_spark.operators.dedup import exact_dup_groups
 
@@ -617,6 +669,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neighbor_symmetry": _q_neighbor_symmetry,
         "neighbors_interior": _q_neighbors_interior,
         "sql_api": _q_sql_api,
+        "cell_hour_counts": _q_cell_hour,
+        "top_tiles": _q_top_tiles,
+        "lang_rollup": _q_lang_rollup,
         "dedup_exact": _q_dedup_exact,
         "jaccard_pairs": _q_jaccard_pairs,
         "minhash_near_dups": _q_minhash_near_dups,
@@ -1131,6 +1186,41 @@ WHERE n.dir >= 0
 """
 
 
+def _cell_hour_oracle() -> str:
+    from s2cell_spark.functions import hilbert_sql as H
+
+    ts = "TIMESTAMP '2024-01-01 00:00:00' + CAST(doc_id % 86400 AS BIGINT) * INTERVAL 1 SECOND"
+    return f"""{_PAGES_CTE},
+{H.leaf_bits_cte(source="pages", max_level=6)}
+SELECT {H.token_sql(H.truncate_sql(6))} AS cell_token,
+       date_trunc('hour', {ts}) AS hour_start,
+       CAST(count(*) AS BIGINT) AS n_pages
+FROM s2enc
+GROUP BY 1, 2
+"""
+
+
+def _top_tiles_oracle() -> str:
+    inner = _tile_oracle()
+    return f"""WITH t AS ({inner})
+SELECT tile_x, tile_y, n_pages FROM t
+ORDER BY n_pages DESC, tile_x, tile_y LIMIT 20
+"""
+
+
+def _lang_rollup_oracle() -> str:
+    n = float(2**3)
+    last = 2**3 - 1
+    tx = f"least(CAST(floor((lon + 180.0e0) / 360.0e0 * {n!r}) AS BIGINT), {last})"
+    return f"""{_PAGES_CTE},
+base AS (SELECT lang, {tx} AS band FROM pages)
+SELECT coalesce(lang, '<all>') AS lang,
+       coalesce(CAST(band AS BIGINT), -1) AS band,
+       CAST(count(*) AS BIGINT) AS n_pages
+FROM base GROUP BY ROLLUP (lang, band)
+"""
+
+
 def _dedup_oracle() -> str:
     return (
         "SELECT md5(text) AS text_md5, CAST(count(*) AS BIGINT) AS n_docs, "
@@ -1171,6 +1261,9 @@ def oracle_sql() -> dict[str, str]:
         "neighbor_symmetry": "SELECT CAST(0 AS BIGINT) AS n_asym",
         "neighbors_interior": _neighbors_oracle(),
         "sql_api": _sql_api_oracle(),
+        "cell_hour_counts": _cell_hour_oracle(),
+        "top_tiles": _top_tiles_oracle(),
+        "lang_rollup": _lang_rollup_oracle(),
         "dedup_exact": _dedup_oracle(),
         "jaccard_pairs": _jaccard_oracle(),
         "minhash_near_dups": _minhash_oracle(),
