@@ -8,10 +8,13 @@ Default mode: run the headline queries once each at
 
 ``--scaling`` mode: run the north-rule throughput job (S2 encode +
 covering containment join + exact filter + per-cell rollup over pages) at
-two parallelism levels (local[8] vs local[32] — the sandbox proxy for N vs
-4N executors), report pages/sec at both plus scaling efficiency
-``(T8/T32)/4``, and rewrite BENCH/BASELINE.md. Each level runs in a fresh
-subprocess so the JVM/thread pools are sized honestly.
+every level of the ``$SPARK_GRAFT_SCALING_PAIR`` parallelism ladder
+(default ``2,8,32`` — two N -> 4N pairs, the sandbox proxy for N vs 4N
+executors). For each adjacent pair it reports pages/sec at both levels,
+engine scaling efficiency ``(pages/sec@hi / pages/sec@lo) / (hi/lo)``,
+and the VM's measured compute ceiling at the same core counts
+(``measure_ceiling``), then rewrites BENCH/BASELINE.md. Each level runs
+in a fresh subprocess so the JVM/thread pools are sized honestly.
 """
 
 from __future__ import annotations
@@ -95,30 +98,11 @@ def run_default() -> None:
     # throughput job: the north-rule metric (encode + containment join +
     # rollup) over the INFLATED at-rest pages table — the raw sf table is
     # small enough that fixed per-query overhead, not the engine, would be
-    # what's measured. Same job as `--scaling`.
-    from pyspark.sql import functions as F
-
-    from s2cell_spark import functions as S2F
-    from s2cell_spark.operators.containment import containment_join_equi, normalized_coverings_df
-    from s2cell_spark.sources.pages import with_cell_id
-
+    # what's measured. Same job as `--scaling` (shared _make_throughput_job).
     spark.conf.set("spark.sql.files.maxPartitionBytes", str(8 * 1024 * 1024))
     repeat = int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "2000"))
     path, total_pages = _materialize_bench_input(spark, repeat)
-    cov_df = normalized_coverings_df(spark, E._box_regions(), 10).cache()
-    cov_df.count()
-
-    def throughput_job() -> int:
-        pages = with_cell_id(spark.read.parquet(path))
-        joined = containment_join_equi(pages, spark, cov_df, level=10)
-        exact = E._exact_box_filter(joined)
-        parent = S2F.cell_id_to_parent_cell_id(F.col("cell_id"), 8)
-        return (
-            exact.groupBy(parent.alias("cell"))
-            .agg(F.count("*").alias("n"))
-            .agg(F.sum("n"))
-            .collect()[0][0]
-        )
+    throughput_job = _make_throughput_job(spark, path)
 
     joined = throughput_job()  # warm pass: parquet footers, code paths
     t0 = time.time()
@@ -137,6 +121,42 @@ def run_default() -> None:
     }
     spark.stop()
     print(json.dumps(out))
+
+
+def _make_throughput_job(spark, path: str):
+    """THE north-rule job, shared verbatim by default-mode throughput and
+    the --scaling ladder (so their pages/sec are the same metric): scan
+    inflated pages -> S2 encode -> broadcast covering containment join vs
+    the PIP boxes -> exact rect filter -> level-8 rollup. Returns a
+    zero-arg callable building a FRESH plan per run (no result reuse);
+    the broadcast covering dim is built+cached once (per-query driver
+    work, constant in data size)."""
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as E
+    from s2cell_spark import functions as S2F
+    from s2cell_spark.operators.containment import (
+        containment_join_equi,
+        normalized_coverings_df,
+    )
+    from s2cell_spark.sources.pages import with_cell_id
+
+    cov_df = normalized_coverings_df(spark, E._box_regions(), 10).cache()
+    cov_df.count()
+
+    def job() -> int:
+        pages = with_cell_id(spark.read.parquet(path))
+        joined = containment_join_equi(pages, spark, cov_df, level=10)
+        exact = E._exact_box_filter(joined)
+        parent = S2F.cell_id_to_parent_cell_id(F.col("cell_id"), 8)
+        return (
+            exact.groupBy(parent.alias("cell"))
+            .agg(F.count("*").alias("n"))
+            .agg(F.sum("n"))
+            .collect()[0][0]
+        )
+
+    return job
 
 
 def _materialize_bench_input(spark, repeat: int) -> tuple[str, int]:
@@ -170,10 +190,7 @@ def run_throughput_once(cores: int) -> None:
     (subprocess body). Prints JSON {cores, n_pages, wall_sec, pages_per_sec}."""
     from pyspark.sql import functions as F
 
-    import __spark_entry__ as E
     from s2cell_spark import functions as S2F
-    from s2cell_spark.operators.containment import containment_join_equi
-    from s2cell_spark.sources.pages import with_cell_id
 
     spark = make_spark(cores)
     # split the scan fine enough that every core gets several tasks — the
@@ -183,7 +200,6 @@ def run_throughput_once(cores: int) -> None:
     spark.sparkContext.setLogLevel("ERROR")
     repeat = int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "2000"))
     path, total_pages = _materialize_bench_input(spark, repeat)
-    regions = E._box_regions()  # driver-side covering: untimed, broadcast
     # warm EVERY python worker (one per core): a UDF job with cores*4 tasks
     # forces the numpy/pandas imports out of the measured window
     warm = spark.range(cores * 4).repartition(cores * 4).withColumn(
@@ -193,26 +209,7 @@ def run_throughput_once(cores: int) -> None:
         S2F.s2_lat_lon_to_cell_id(F.col("lat"), F.col("lat"), F.lit(30))
     ).count()
 
-    # the covering dim table ships driver->JVM once (per-query driver work,
-    # constant in data size); each run below builds a FRESH plan so Spark
-    # cannot reuse shuffle/broadcast results between executions
-    from s2cell_spark.operators.containment import normalized_coverings_df
-
-    cov_df = normalized_coverings_df(spark, regions, 10).cache()
-    cov_df.count()
-
-    def job():
-        pages = with_cell_id(spark.read.parquet(path))
-        joined = containment_join_equi(pages, spark, cov_df, level=10)
-        exact = E._exact_box_filter(joined)
-        parent = S2F.cell_id_to_parent_cell_id(F.col("cell_id"), 8)
-        return (
-            exact.groupBy(parent.alias("cell"))
-            .agg(F.count("*").alias("n"))
-            .agg(F.sum("n"))
-            .collect()[0][0]
-        )
-
+    job = _make_throughput_job(spark, path)
     # one untimed pass warms parquet footers / file listing / code paths,
     # then measure steady state (what a long-running 100-TB job sees)
     n_out = job()

@@ -67,17 +67,21 @@ def shingles_col(text=None, n: int = 3):
     return shingles_from_words(words_col(text), n)
 
 
+def ensure_split(df: DataFrame) -> DataFrame:
+    """Repartition to full parallelism when the source is under-split (a
+    single-row-group parquet file otherwise serializes all per-row work
+    onto one task — at 100 TB file counts provide the splits and the
+    guard is a no-op). Call on a NARROW projection so the shuffle moves
+    only the needed columns."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def shingled_docs(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """(doc, ws) with ws = DISTINCT shingle set, docs with >= 1 shingle.
-    Two-step projection so the words array materializes once per row, and
-    repartitioned to full parallelism when the source is under-split (a
-    single-row-group parquet file otherwise serializes all parsing onto
-    one task — at 100 TB file counts provide the splits and the guard is
-    a no-op)."""
-    narrow = docs.select(F.col(id_col).alias("doc"), F.col("text"))
-    target = docs.sparkSession.sparkContext.defaultParallelism
-    if narrow.rdd.getNumPartitions() < target:
-        narrow = narrow.repartition(target)
+    """(doc, ws) with ws = DISTINCT shingle set, docs with >= 1 shingle."""
+    narrow = ensure_split(docs.select(F.col(id_col).alias("doc"), F.col("text")))
     return (
         narrow.select("doc", words_col().alias("wsa"))
         .select("doc", F.array_distinct(shingles_from_words(F.col("wsa"))).alias("ws"))
@@ -115,27 +119,20 @@ def jaccard_pairs_exact(
     per_s = dw.groupBy("w").agg(
         F.array_sort(F.collect_list(F.struct("doc", "sz"))).alias("ds")
     )
-    # all ordered pairs from each shingle's (sorted) doc list, natively:
-    # flatten(transform(ds, (x, i) -> transform(slice-after-i, y -> pair)))
-    pair = F.flatten(
-        F.transform(
-            F.col("ds"),
-            lambda x, i: F.transform(
-                F.slice(F.col("ds"), i + F.lit(2), F.size("ds")),
-                lambda y: F.struct(
-                    x["doc"].alias("doc_a"),
-                    y["doc"].alias("doc_b"),
-                    x["sz"].alias("sz_a"),
-                    y["sz"].alias("sz_b"),
-                ),
-            ),
-        )
-    )
-    pairs = per_s.select(F.explode(pair).alias("p")).select("p.*")
+    # two-step pair unfold: posexplode the doc list, then explode each
+    # element's suffix. Per-row array size stays O(D) for a shingle in D
+    # docs — a single flattened all-pairs array would be O(D^2) in ONE
+    # row, a hard task-memory/2^31-element cliff on Zipf-hot shingles.
+    ex = per_s.select(F.col("ds"), F.posexplode("ds").alias("i", "x"))
+    pairs = ex.select(
+        F.col("x.doc").alias("doc_a"),
+        F.col("x.sz").alias("sz_a"),
+        F.explode(F.slice(F.col("ds"), F.col("i") + F.lit(2), F.size("ds"))).alias("y"),
+    ).select("doc_a", "sz_a", F.col("y.doc").alias("doc_b"), F.col("y.sz").alias("sz_b"))
     agg = pairs.groupBy("doc_a", "doc_b").agg(
-        F.count("*").alias("inter"),
-        F.first("sz_a").alias("sz_a"),
-        F.first("sz_b").alias("sz_b"),
+        F.count("*").cast("long").alias("inter"),
+        F.first("sz_a").cast("long").alias("sz_a"),
+        F.first("sz_b").cast("long").alias("sz_b"),
     )
     return (
         agg.withColumn(
@@ -260,8 +257,10 @@ def minhash_near_dup_pairs(
         cand.join(wsets.withColumnRenamed("doc", "doc_a").withColumnRenamed("ws", "ws_a"), on="doc_a")
         .join(wsets.withColumnRenamed("doc", "doc_b").withColumnRenamed("ws", "ws_b"), on="doc_b")
     )
-    inter = F.size(F.array_intersect("ws_a", "ws_b"))
-    union = F.size("ws_a") + F.size("ws_b") - inter
+    # cast BEFORE the multiply: size() is int32 and 10000 * inter wraps
+    # past ~214k shared shingles (real for long near-dup docs at scale)
+    inter = F.size(F.array_intersect("ws_a", "ws_b")).cast("long")
+    union = F.size("ws_a").cast("long") + F.size("ws_b").cast("long") - inter
     return (
         joined.withColumn("jacc_bp", F.floor(F.lit(10000) * inter / union).cast("long"))
         .filter(F.col("jacc_bp") >= threshold_bp)
@@ -294,10 +293,7 @@ def simhash(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     Entirely native: explode words -> 65 hash aggregates -> fold the 64
     majority votes back into one long. Ties (exactly half) -> 0.
     """
-    narrow = docs.select(F.col(id_col).alias("doc_id"), F.col("text"))
-    target = docs.sparkSession.sparkContext.defaultParallelism
-    if narrow.rdd.getNumPartitions() < target:
-        narrow = narrow.repartition(target)
+    narrow = ensure_split(docs.select(F.col(id_col).alias("doc_id"), F.col("text")))
     exploded = narrow.select("doc_id", F.explode(words_col()).alias("w"))
     agg = exploded.groupBy("doc_id").agg(*simhash_bit_exprs())
     fp = F.lit(0).cast("long")

@@ -107,6 +107,12 @@ def _seq_dot(planes: np.ndarray, mat: np.ndarray) -> np.ndarray:
     Spark's ``F.aggregate`` and DuckDB's ``list_reduce`` bit-for-bit —
     BLAS matmul uses blocked/pairwise summation whose rounding differs, so
     it cannot be value-checked across engines."""
+    if planes.shape[1] != mat.shape[1]:
+        raise ValueError(
+            f"embedding dim {mat.shape[1]} != configured dim {planes.shape[1]}"
+            " — pass the table's actual vector width (silently projecting"
+            " onto a prefix would degrade recall with no error)"
+        )
     acc = np.zeros((planes.shape[0], mat.shape[0]))
     for k in range(planes.shape[1]):
         acc += planes[:, k : k + 1] * mat[None, :, k]

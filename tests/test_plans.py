@@ -46,13 +46,19 @@ def test_salted_join_still_broadcast(spark, entry):
 
 def test_exact_filter_sits_below_encode_udf(spark, entry):
     """The rect predicate must run BEFORE the (expensive) encode UDF output
-    is joined — i.e. the Filter appears under ArrowEvalPython in the plan
-    (Catalyst can't push a filter through a python UDF, so we phrase the
-    pipeline so the filter lands on the scan side)."""
+    is joined — i.e. a Filter node carrying the rect bounds appears BELOW
+    ArrowEvalPython in the plan (deeper in the tree = earlier in
+    execution). Matched on an actual box constant (39.7, the NYC lat_lo)
+    inside a Filter line, not just any Filter — the scan's isnotnull
+    filters would satisfy a bare position check vacuously."""
+    import re
+
     plan = _plan(entry.queries()["pip_boxes_equi"](spark, SF))
     arrow_pos = plan.index("ArrowEvalPython")
-    filter_pos = plan.index("Filter ", arrow_pos)
-    assert filter_pos > arrow_pos  # deeper in the tree = earlier in execution
+    below = plan[arrow_pos:]
+    assert re.search(r"Filter [^\n]*39\.7", below), (
+        "rect predicate no longer evaluated below the encode UDF"
+    )
 
 
 @pytest.mark.parametrize(

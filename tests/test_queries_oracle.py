@@ -1,5 +1,10 @@
 """t3 — every oracle-backed __spark_entry__ query vs DuckDB at sf0.01
-(the driver's correctness gate, run locally), plus rows-only sanity."""
+(the driver's correctness gate, run locally), plus non-emptiness floors.
+
+compare() passes when BOTH engines return zero rows, so a symmetric
+regression (a shared constant drifting until a query degenerates to
+empty on both sides) would stay green without the MIN_ROWS floors below.
+"""
 
 from __future__ import annotations
 
@@ -12,21 +17,44 @@ from tests.oracle_util import compare
 ORACLES = E.oracle_sql()
 QUERIES = E.queries()
 
+# sf0.01 row-count floors: roughly half the observed counts, so data-shape
+# drift fails loudly while normal variation passes. Every query must
+# return SOMETHING (default floor 1).
+MIN_ROWS = {
+    "s2_bitops": 400,
+    "cell_decode": 400,
+    "pip_boxes_equi": 50,
+    "pip_boxes_range": 50,
+    "pip_boxes_salted": 50,
+    "pip_polygons": 20,
+    "knn_pages": 30,
+    "neighbors_interior": 800,
+    "cell_heatmap_l8": 200,
+    "hierarchical_rollup": 500,
+    "cell_hour_counts": 200,
+    "top_tiles": 20,
+    "jaccard_pairs": 10,
+    "minhash_near_dups": 10,
+    "simhash": 400,
+    "ann_topk": 35,
+    "ivf_topk": 35,
+    "cosine_near_dups": 40,
+    "sql_api": 400,
+    "token_count": 400,
+}
+
 
 @pytest.mark.parametrize("name", sorted(ORACLES))
-def test_query_matches_oracle(spark, name):
-    ok, msg = compare(QUERIES[name](spark, SF_CORRECT), ORACLES[name], SF_CORRECT)
+def test_query_matches_oracle_and_nonempty(spark, name):
+    df = QUERIES[name](spark, SF_CORRECT)
+    n = df.count()
+    assert n >= MIN_ROWS.get(name, 1), f"{name}: only {n} rows at sf0.01"
+    ok, msg = compare(df, ORACLES[name], SF_CORRECT)
     assert ok, f"{name}: {msg}"
 
 
-@pytest.mark.parametrize(
-    "name", sorted(set(QUERIES) - set(ORACLES))
-)
-def test_rows_only_queries_execute(spark, name):
-    n = QUERIES[name](spark, SF_CORRECT).count()
-    assert n >= 0
-    if name in ("cell_heatmap_l8", "hierarchical_rollup", "ivf_topk"):
-        assert n > 0, f"{name} unexpectedly empty"
+def test_every_query_has_an_oracle():
+    assert set(QUERIES) == set(ORACLES)
 
 
 def test_entry_smoke(spark):
