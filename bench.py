@@ -322,6 +322,17 @@ def _write_bench_md(results: dict, pairs: list, ladder: tuple, ceilings: dict) -
     ceiling_rows = "\n".join(
         f"| {c} procs | {ceilings[c]:,.0f} |" for c in ladder
     )
+    ratio_txt = ", ".join(
+        f"{p['eff'] / p['ceiling_eff']:.2f} at {p['lo']}->{p['hi']}" for p in pairs
+    )
+    met = [p for p in pairs if p["eff"] >= 0.8]
+    met_txt = (
+        "The pair(s) "
+        + ", ".join(f"local[{p['lo']}]->local[{p['hi']}] ({p['eff']})" for p in met)
+        + " MEET the >= 0.8 target even on this shared VM.\n"
+        if met
+        else ""
+    )
     any_c = ladder[0]
     md = f"""# BENCH/BASELINE — parallelism-ladder scaling run
 
@@ -348,8 +359,8 @@ per-stage barriers dominate ~5 s stages; long production jobs keep it on).
 {pair_rows}
 
 North-rule target: >= 0.8 between N and 4N **executors**.
-
-## Why sandbox efficiency sits below the cluster target — measured, not assumed
+{met_txt}
+## Reading sandbox efficiency against the cluster target — measured, not assumed
 
 The criterion targets separate machines whose CPUs and memory bandwidth
 scale WITH the cluster. This sandbox is one shared VM: extra threads
@@ -363,15 +374,15 @@ could do better on this box:
 |---|---|
 {ceiling_rows}
 
-The engine sits below even that ceiling because the measured job is
+The engine can sit below even that ceiling because the measured job is
 scan-heavy (parquet decode + Arrow IPC are pure memory traffic, which
 the compute-only ceiling doesn't pay). The diagnostic is the
-engine/ceiling ratio per pair: it stays CONSTANT across the ladder —
-if a serial stage or coordination bottleneck existed, the ratio would
-collapse as cores grow (Amdahl), and it doesn't. The scaling loss is
-shared-resource contention, not plan shape. On a real N -> 4N cluster
-the same plan adds no cross-executor coupling at all: the covering dim
-is broadcast, pages never shuffle before the map-side partial aggregate,
+engine/ceiling ratio per pair: {ratio_txt}. A serial stage or
+coordination bottleneck would make this ratio COLLAPSE as cores grow
+(Amdahl); a ratio that stays high at every pair means the scaling loss
+tracks the hardware, not the plan. On a real N -> 4N cluster the same
+plan adds no cross-executor coupling at all: the covering dim is
+broadcast, pages never shuffle before the map-side partial aggregate,
 and the final rollup exchange moves only per-cell partial counts —
 bandwidth scales with executors, so the cluster criterion is met by the
 same plan that is bandwidth-capped here.
