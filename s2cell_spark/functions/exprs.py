@@ -78,13 +78,16 @@ def cell_id_to_parent_cell_id(cid: Column, level: Column | int) -> Column:
 
 def cell_id_range_min(cid: Column) -> Column:
     """Smallest contained leaf ID: ``id - (lsb - 1)`` (same bits as C++
-    S2CellId::range_min). Int64 wraparound-free for valid IDs."""
-    return cid - (_lsb(cid) - F.lit(1))
+    S2CellId::range_min). Null for invalid IDs — the validity gate also
+    keeps the arithmetic wraparound-free under ANSI mode (an invalid ID
+    like LONG_MIN would otherwise evaluate LONG_MIN - 1 and throw)."""
+    return F.when(cell_id_is_valid(cid), cid - (_lsb(cid) - F.lit(1)))
 
 
 def cell_id_range_max(cid: Column) -> Column:
-    """Largest contained leaf ID: ``id + (lsb - 1)``."""
-    return cid + (_lsb(cid) - F.lit(1))
+    """Largest contained leaf ID: ``id + (lsb - 1)``. Null when invalid
+    (see range_min — same ANSI-overflow guard)."""
+    return F.when(cell_id_is_valid(cid), cid + (_lsb(cid) - F.lit(1)))
 
 
 def cell_id_sortable(cid: Column) -> Column:
@@ -127,9 +130,13 @@ def token_is_valid(tok: Column) -> Column:
 
 
 def token_to_canonical_token(tok: Column) -> Column:
-    """lower, trim, strip trailing '0's; ''/'x' -> 'X'
-    (s2cell/s2cell.py:805-837)."""
-    canon = F.regexp_replace(F.trim(F.lower(tok)), "0+$", "")
+    """lower, strip surrounding whitespace, strip trailing '0's;
+    ''/'x' -> 'X' (s2cell/s2cell.py:805-837). The reference uses
+    ``str.strip()`` (all whitespace) — ``F.trim`` strips only spaces, so
+    the strip is a regex on ``\\s`` (tab/newline-padded tokens must
+    canonicalize identically to the kernel)."""
+    stripped = F.regexp_replace(F.lower(tok), r"^\s+|\s+$", "")
+    canon = F.regexp_replace(stripped, "0+$", "")
     return F.when(canon.isin("", "x"), F.lit("X")).otherwise(canon)
 
 

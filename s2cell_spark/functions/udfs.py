@@ -13,6 +13,16 @@ on one bad row. Validity is queryable via the native exprs.
 
 int64<->uint64: Spark longs arrive as pandas int64; kernels reinterpret the
 same 64 bits via ``.view(np.uint64)`` — no value conversion anywhere.
+
+CRITICAL Arrow-boundary trap this module guards against: a LongType batch
+containing ANY null reaches pandas as float64, silently destroying the
+low bits of every value above 2^53 — i.e. of every real cell ID — for
+ALL rows sharing the batch. The public Column API below therefore
+``coalesce``s long inputs to 0 BEFORE the UDF (so batches are always
+non-nullable int64) and re-nulls the output; the raw pandas UDFs (also
+registered for spark.sql) detect a float64 batch and either recover
+exactly (all |values| <= 2^53) or raise with guidance rather than
+corrupt.
 """
 
 from __future__ import annotations
@@ -36,10 +46,37 @@ from s2cell_spark import kernels as K
 
 
 def _i64_to_u64(s: pd.Series) -> tuple[np.ndarray, np.ndarray]:
-    """(uint64 values, not-null mask) from a nullable int64 Series."""
+    """(uint64 values, not-null mask) from a nullable int64 Series.
+
+    See module docstring: a nullable batch arrives as float64. Values at
+    or below 2^53 convert back exactly; beyond that the bits are already
+    gone at the Arrow boundary, so raise instead of returning corrupt
+    cell IDs (the Column API prevents this by coalescing first)."""
     notnull = s.notna().to_numpy()
-    vals = s.fillna(0).to_numpy(dtype=np.int64, copy=False).view(np.uint64)
+    if s.dtype == np.float64:
+        filled = s.fillna(0.0).to_numpy(dtype=np.float64)
+        if np.any(np.abs(filled) > 2.0**53):
+            raise ValueError(
+                "nullable LongType batch reached the UDF as float64 with "
+                "values beyond 2^53 — low bits were lost at the Arrow "
+                "boundary. COALESCE the column to 0 before the UDF (the "
+                "s2cell_spark Column API does this automatically)."
+            )
+        vals = filled.astype(np.int64).view(np.uint64)
+    else:
+        vals = s.fillna(0).to_numpy(dtype=np.int64, copy=False).view(np.uint64)
     return vals, notnull
+
+
+def _col(c) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def _null_guard(cid, udf, *extra):
+    """Column-API guard: run `udf` on COALESCE(cid, 0) so the Arrow batch
+    stays non-nullable int64, and re-null the output for null input."""
+    cid = _col(cid)
+    return F.when(cid.isNotNull(), udf(F.coalesce(cid, F.lit(0)), *extra))
 
 
 def _u64_to_nullable(vals: np.ndarray, ok: np.ndarray) -> pd.Series:
@@ -76,7 +113,7 @@ _LATLON_SCHEMA = StructType(
 
 
 @F.pandas_udf(_LATLON_SCHEMA)
-def s2_cell_id_to_lat_lon(cid: pd.Series) -> pd.DataFrame:
+def _s2_cell_id_to_lat_lon_raw(cid: pd.Series) -> pd.DataFrame:
     """cell ID -> struct(lat, lon) of the cell center
     (s2cell/s2cell.py:708-771); null lat/lon for invalid IDs."""
     vals, notnull = _i64_to_u64(cid)
@@ -101,7 +138,7 @@ def s2_token_to_cell_id(tok: pd.Series) -> pd.Series:
 
 
 @F.pandas_udf(StringType())
-def s2_cell_id_to_token(cid: pd.Series) -> pd.Series:
+def _s2_cell_id_to_token_raw(cid: pd.Series) -> pd.Series:
     """cell ID -> token (s2cell/s2cell.py:552-580). Native expr exists too;
     this kernel form is for parity testing and kernel-side pipelines."""
     vals, notnull = _i64_to_u64(cid)
@@ -112,7 +149,7 @@ def s2_cell_id_to_token(cid: pd.Series) -> pd.Series:
 
 
 @F.pandas_udf(IntegerType())
-def s2_cell_id_to_level(cid: pd.Series) -> pd.Series:
+def _s2_cell_id_to_level_raw(cid: pd.Series) -> pd.Series:
     """cell ID -> level (s2cell/s2cell.py:916-950); null when invalid."""
     vals, notnull = _i64_to_u64(cid)
     ok = notnull & K.cell_id_is_valid(vals)
@@ -123,7 +160,7 @@ def s2_cell_id_to_level(cid: pd.Series) -> pd.Series:
 
 
 @F.pandas_udf(ArrayType(LongType()))
-def s2_neighbor_cell_ids(cid: pd.Series, edge: pd.Series, corner: pd.Series) -> pd.Series:
+def _s2_neighbor_cell_ids_raw(cid: pd.Series, edge: pd.Series, corner: pd.Series) -> pd.Series:
     """Edge/corner neighbors at the cell's own level, in the reference's
     down/right/up/left interleaved order (s2cell/s2cell.py:1076-1143).
     Null for invalid cell IDs; cube-corner cells drop the off-face corner."""
@@ -163,7 +200,7 @@ _FACE_IJ_SCHEMA = StructType(
 
 
 @F.pandas_udf(_FACE_IJ_SCHEMA)
-def s2_cell_id_to_face_ij(cid: pd.Series) -> pd.DataFrame:
+def _s2_cell_id_to_face_ij_raw(cid: pd.Series) -> pd.DataFrame:
     """cell ID -> (face, i, j) leaf coords — public since reference v1.8.0
     (s2cell/s2cell.py:345-426); null struct members for invalid IDs."""
     vals, notnull = _i64_to_u64(cid)
@@ -190,23 +227,58 @@ def s2_face_ij_to_cell_id(face: pd.Series, i: pd.Series, j: pd.Series, level: pd
     )
     f = face.fillna(0).to_numpy(dtype=np.int64)
     lvl = level.fillna(0).to_numpy(dtype=np.int64)
+    iv = i.fillna(0).to_numpy(dtype=np.int64)
+    jv = j.fillna(0).to_numpy(dtype=np.int64)
     ok &= (f >= 0) & (f <= 5) & (lvl >= 0) & (lvl <= 30)
+    # out-of-range leaf coords would wrap through the nibble masks into a
+    # plausible-looking but meaningless ID — null them as documented
+    ok &= (iv >= 0) & (iv < K.MAX_SIZE) & (jv >= 0) & (jv < K.MAX_SIZE)
     ids = K.face_ij_to_cell_id(
         np.clip(f, 0, 5).astype(np.uint64),
-        i.fillna(0).to_numpy(dtype=np.int64).view(np.uint64),
-        j.fillna(0).to_numpy(dtype=np.int64).view(np.uint64),
+        np.clip(iv, 0, K.MAX_SIZE - 1).view(np.uint64),
+        np.clip(jv, 0, K.MAX_SIZE - 1).view(np.uint64),
         np.clip(lvl, 0, 30).astype(np.uint64),
     )
     return _u64_to_nullable(ids, ok)
 
 
 @F.pandas_udf(BooleanType())
-def s2_cell_id_is_valid(cid: pd.Series) -> pd.Series:
+def _s2_cell_id_is_valid_raw(cid: pd.Series) -> pd.Series:
     """Kernel-parity validity (prefer the native expr in query plans)."""
     vals, notnull = _i64_to_u64(cid)
     out = pd.Series(K.cell_id_is_valid(vals), dtype="boolean")
     out[~notnull] = pd.NA
     return out
+
+
+
+
+# Null-guarded Column API for the cid-input kernels (see module docstring:
+# coalescing BEFORE the UDF keeps the Arrow batch int64; the raw UDFs stay
+# registered for spark.sql and fail loudly instead of corrupting).
+
+def s2_cell_id_to_lat_lon(cid) -> Column:
+    return _null_guard(cid, _s2_cell_id_to_lat_lon_raw)
+
+
+def s2_cell_id_to_token(cid) -> Column:
+    return _null_guard(cid, _s2_cell_id_to_token_raw)
+
+
+def s2_cell_id_to_level(cid) -> Column:
+    return _null_guard(cid, _s2_cell_id_to_level_raw)
+
+
+def s2_neighbor_cell_ids(cid, edge, corner) -> Column:
+    return _null_guard(cid, _s2_neighbor_cell_ids_raw, edge, corner)
+
+
+def s2_cell_id_to_face_ij(cid) -> Column:
+    return _null_guard(cid, _s2_cell_id_to_face_ij_raw)
+
+
+def s2_cell_id_is_valid(cid) -> Column:
+    return _null_guard(cid, _s2_cell_id_is_valid_raw)
 
 
 # -- convenience wrappers ----------------------------------------------------
@@ -227,11 +299,11 @@ def neighbor_cell_ids(cid: Column, edge: bool = True, corner: bool = False) -> C
 def register_sql_functions(spark) -> None:
     """Register the UDF surface for ``spark.sql`` use."""
     spark.udf.register("s2_lat_lon_to_cell_id", s2_lat_lon_to_cell_id)
-    spark.udf.register("s2_cell_id_to_lat_lon", s2_cell_id_to_lat_lon)
+    spark.udf.register("s2_cell_id_to_lat_lon", _s2_cell_id_to_lat_lon_raw)
     spark.udf.register("s2_token_to_cell_id", s2_token_to_cell_id)
-    spark.udf.register("s2_cell_id_to_token", s2_cell_id_to_token)
-    spark.udf.register("s2_cell_id_to_level", s2_cell_id_to_level)
-    spark.udf.register("s2_neighbor_cell_ids", s2_neighbor_cell_ids)
-    spark.udf.register("s2_cell_id_is_valid", s2_cell_id_is_valid)
-    spark.udf.register("s2_cell_id_to_face_ij", s2_cell_id_to_face_ij)
+    spark.udf.register("s2_cell_id_to_token", _s2_cell_id_to_token_raw)
+    spark.udf.register("s2_cell_id_to_level", _s2_cell_id_to_level_raw)
+    spark.udf.register("s2_neighbor_cell_ids", _s2_neighbor_cell_ids_raw)
+    spark.udf.register("s2_cell_id_is_valid", _s2_cell_id_is_valid_raw)
+    spark.udf.register("s2_cell_id_to_face_ij", _s2_cell_id_to_face_ij_raw)
     spark.udf.register("s2_face_ij_to_cell_id", s2_face_ij_to_cell_id)

@@ -57,7 +57,14 @@ def coverings_df(
             )
         )
     pdf = pd.concat(parts, ignore_index=True) if parts else pd.DataFrame(
-        {"region_id": [], "cell_id": [], "level": []}
+        {
+            # explicit dtypes: an empty frame would infer float64 columns
+            # and give the Spark side DOUBLE cell_ids, breaking the
+            # downstream bitwise exprs
+            "region_id": pd.Series([], dtype="int32"),
+            "cell_id": pd.Series([], dtype="int64"),
+            "level": pd.Series([], dtype="int32"),
+        }
     )
     return spark.createDataFrame(pdf)
 
@@ -196,6 +203,11 @@ def containment_join_range(
     schema = StructType(
         list(pages.schema.fields) + [StructField("region_id", LongType(), False)]
     )
+
+    # null cells can't be contained anywhere — filtering them first also
+    # guarantees the Arrow batches arrive as int64 (a nullable long batch
+    # degrades to float64 and corrupts IDs above 2^53)
+    pages = pages.filter(F.col(cell_col).isNotNull())
 
     def stab(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

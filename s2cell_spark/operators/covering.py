@@ -104,6 +104,10 @@ def cell_latlng_bbox(ids: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarra
         | south_pole
         | ((lon.max(axis=1) - lon.min(axis=1)) > 180.0)  # antimeridian span
         | (np.maximum(np.abs(lat_lo), np.abs(lat_hi)) >= 89.0)
+        # padded interval pokes past +-180: an unwrapped [-172, 181] box
+        # would wrongly prune far-side queries — widen to full instead
+        | (lon_lo < -180.0)
+        | (lon_hi > 180.0)
     )
     return lat_lo, lat_hi, lon_lo, lon_hi, lon_full
 

@@ -54,8 +54,11 @@ def quality_score(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
            + (2000 if 20 <= mean_tok_len_bp/100 <= 80 else 0)  -- readable
     """
     toks = words_col()
-    n_tokens = F.size(toks)
-    n_chars = F.length("text")
+    # long from the start: size()/length() are int32 and products like
+    # 100 * n_tokens overflow (ANSI exception) on pathological ~22M-token
+    # documents well under Spark's 2 GB string limit
+    n_tokens = F.size(toks).cast("long")
+    n_chars = F.length("text").cast("long")
     punct = sum(
         (
             F.length("text")

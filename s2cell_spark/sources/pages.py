@@ -33,8 +33,13 @@ from pyspark.sql import functions as F
 _CITY_LAT = "CASE doc_id % 8 WHEN 0 THEN 40.7e0 WHEN 1 THEN 51.5e0 WHEN 2 THEN 35.7e0 WHEN 3 THEN -33.9e0 WHEN 4 THEN 48.9e0 WHEN 5 THEN 19.4e0 WHEN 6 THEN 37.8e0 ELSE -23.5e0 END"
 _CITY_LON = "CASE doc_id % 8 WHEN 0 THEN -74.0e0 WHEN 1 THEN -0.1e0 WHEN 2 THEN 139.7e0 WHEN 3 THEN 18.4e0 WHEN 4 THEN 2.4e0 WHEN 5 THEN -99.1e0 WHEN 6 THEN -122.4e0 ELSE -46.6e0 END"
 
-_H1 = "(doc_id * 2654435761 + 40503)"
-_H2 = "(doc_id * 1597334677 + 57559)"
+# doc_id folded mod 2^30 before the Knuth multipliers: the product then
+# stays below 2^62, so the geotag is exact int64 at ANY doc_id — a raw
+# doc_id * 2654435761 overflows (ANSI exception in Spark, range error in
+# DuckDB) from doc_id ~3.47e9, i.e. exactly at the 10^12-page scale this
+# table models. Values are unchanged for doc_id < 2^30 (all test SFs).
+_H1 = "((doc_id % 1073741824) * 2654435761 + 40503)"
+_H2 = "((doc_id % 1073741824) * 1597334677 + 57559)"
 
 LAT_SQL = (
     f"(CASE WHEN doc_id % 5 < 2 THEN ({_CITY_LAT}) + ({_H1} % 2001) / 1000.0e0 - 1.0e0 "

@@ -170,3 +170,68 @@ def test_sql_registration(spark):
     ).collect()[0]
     # expectation generated from the reference: s2cell.lat_lon_to_token(45, 9, 12)
     assert row["tok"] == "47873ef"
+
+
+def test_nullable_long_batch_does_not_corrupt(spark):
+    """A LongType batch containing a null arrives in pandas as float64,
+    destroying bits above 2^53 — the Column API must still return exact
+    results for the valid rows sharing the batch (regression: it used to
+    silently emit the token of the wrong cell)."""
+    import numpy as np
+
+    from s2cell_spark import functions as S2F
+    from s2cell_spark import kernels as K
+
+    big = 4611686018427400249  # odd leaf id, > 2^53
+    df = spark.createDataFrame([(big,), (None,)], "cid long").coalesce(1)
+    got = {
+        r["cid"]: (r["tok"], r["lvl"], (r["ll"]["lat"] if r["ll"] else None))
+        for r in df.select(
+            "cid",
+            S2F.s2_cell_id_to_token(F.col("cid")).alias("tok"),
+            S2F.s2_cell_id_to_level(F.col("cid")).alias("lvl"),
+            S2F.cell_id_to_lat_lon(F.col("cid")).alias("ll"),
+        ).collect()
+    }
+    want_tok = K.cell_id_to_token(np.array([big], dtype=np.uint64))[0]
+    want_lat = K.cell_id_to_lat_lon(np.array([big], dtype=np.uint64))[0][0]
+    assert got[big][0] == want_tok
+    assert got[big][1] == 30
+    assert abs(got[big][2] - want_lat) < 1e-12
+    assert got[None] == (None, None, None)
+
+
+def test_face_ij_out_of_range_is_null(spark):
+    from s2cell_spark import functions as S2F
+
+    df = spark.createDataFrame(
+        [(0, 2**40, 0), (0, -5, 0), (0, 5, 5)], "face long, i long, j long"
+    )
+    out = df.select(
+        S2F.s2_face_ij_to_cell_id(
+            F.col("face"), F.col("i"), F.col("j"), F.lit(30)
+        ).alias("cid")
+    ).collect()
+    assert out[0]["cid"] is None and out[1]["cid"] is None
+    assert out[2]["cid"] is not None
+
+
+def test_range_min_invalid_is_null_not_error(spark):
+    """token '8' decodes to LONG_MIN (well-formed, invalid): range_min
+    must yield null under ANSI mode, not ArithmeticException."""
+    from s2cell_spark import functions as S2F
+
+    df = spark.createDataFrame([("8",), ("1",)], "tok string")
+    rows = df.select(
+        S2F.cell_id_range_min(S2F.token_to_cell_id(F.col("tok"))).alias("rmin")
+    ).collect()
+    assert rows[0]["rmin"] is None
+    assert rows[1]["rmin"] is not None
+
+
+def test_canonical_token_strips_all_whitespace(spark):
+    from s2cell_spark import functions as S2F
+
+    df = spark.createDataFrame([("\t2ef0\n",), ("  X ",)], "tok string")
+    got = [r["c"] for r in df.select(S2F.token_to_canonical_token(F.col("tok")).alias("c")).collect()]
+    assert got == ["2ef", "X"]

@@ -299,3 +299,22 @@ def test_native_covering_expansion_matches_numpy(spark):
         for c in COV.covering_to_level(cells, 8)
     }
     assert native == want and len(want) > 100
+
+
+def test_checkpoint_recomputes_on_changed_plan(spark, tmp_path):
+    """A stage whose build logic changed must NOT resume the stale
+    snapshot (plan-fingerprint gate in the lineage manifest)."""
+    from s2cell_spark.plans.checkpoint import CheckpointedPipeline
+
+    root = str(tmp_path / "fp")
+    docs = spark.range(100).withColumnRenamed("id", "doc_id")
+    p1 = CheckpointedPipeline(spark, root)
+    p1.stage("s", lambda: docs.filter(F.col("doc_id") % 2 == 0))
+    p2 = CheckpointedPipeline(spark, root)
+    out_same = p2.stage("s", lambda: docs.filter(F.col("doc_id") % 2 == 0))
+    assert p2.metrics[0]["resumed"] is True
+    assert out_same.count() == 50  # materialize before the overwrite below
+    p3 = CheckpointedPipeline(spark, root)
+    out_changed = p3.stage("s", lambda: docs.filter(F.col("doc_id") % 2 == 1))
+    assert p3.metrics[0].get("resumed") is False
+    assert out_changed.count() == 50 and {r["doc_id"] % 2 for r in out_changed.collect()} == {1}
