@@ -446,6 +446,35 @@ def _q_neighbors_interior(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_events_by_cell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact x dim join with an S2 rollup: events (fact) join pages (dim,
+    broadcast) on user_id = doc_id, grouped by (level-4 cell, event_type)
+    with a JSON property extracted from props. Exercises the classic
+    star-join shape plus semi-structured extraction."""
+    from s2cell_spark import functions as S2F
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pages = _pages_with_cells(spark, sf_dir)
+    dim = F.broadcast(
+        pages.select(
+            F.col("doc_id").alias("user_id"),
+            S2F.cell_id_to_token(
+                S2F.cell_id_to_parent_cell_id(F.col("cell_id"), 4)
+            ).alias("cell_token"),
+        )
+    )
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        ev.join(dim, on="user_id")
+        .groupBy("cell_token", "event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+            F.sum(k).alias("sum_k"),
+        )
+    )
+
+
 def _q_cell_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spatio-temporal composition: pages per (level-6 cell, crawl hour)
     — the batch shape of a streaming per-cell windowed count with the S2
@@ -669,6 +698,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neighbor_symmetry": _q_neighbor_symmetry,
         "neighbors_interior": _q_neighbors_interior,
         "sql_api": _q_sql_api,
+        "events_by_cell": _q_events_by_cell,
         "cell_hour_counts": _q_cell_hour,
         "top_tiles": _q_top_tiles,
         "lang_rollup": _q_lang_rollup,
@@ -1186,6 +1216,24 @@ WHERE n.dir >= 0
 """
 
 
+def _events_by_cell_oracle() -> str:
+    from s2cell_spark.functions import hilbert_sql as H
+
+    return f"""{_PAGES_CTE},
+{H.leaf_bits_cte(source="pages", max_level=4)},
+dim AS (
+  SELECT doc_id AS user_id, {H.token_sql(H.truncate_sql(4))} AS cell_token
+  FROM s2enc
+)
+SELECT dim.cell_token, e.event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT) AS value_cents,
+       CAST(sum(CAST(json_extract_string(e.props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+FROM events e JOIN dim USING (user_id)
+GROUP BY 1, 2
+"""
+
+
 def _cell_hour_oracle() -> str:
     from s2cell_spark.functions import hilbert_sql as H
 
@@ -1261,6 +1309,7 @@ def oracle_sql() -> dict[str, str]:
         "neighbor_symmetry": "SELECT CAST(0 AS BIGINT) AS n_asym",
         "neighbors_interior": _neighbors_oracle(),
         "sql_api": _sql_api_oracle(),
+        "events_by_cell": _events_by_cell_oracle(),
         "cell_hour_counts": _cell_hour_oracle(),
         "top_tiles": _top_tiles_oracle(),
         "lang_rollup": _lang_rollup_oracle(),

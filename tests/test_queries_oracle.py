@@ -32,6 +32,7 @@ MIN_ROWS = {
     "cell_heatmap_l8": 200,
     "hierarchical_rollup": 500,
     "cell_hour_counts": 200,
+    "events_by_cell": 250,
     "top_tiles": 20,
     "jaccard_pairs": 10,
     "minhash_near_dups": 10,
