@@ -34,14 +34,20 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 HEADLINE = [
     "s2_bitops",
+    "cell_decode",
     "events_window_1h",
+    "events_by_cell",
     "pip_boxes_equi",
     "pip_boxes_range",
     "pip_polygons",
     "knn_pages",
     "tile_heatmap_z6",
+    "top_tiles",
     "cell_heatmap_l8",
+    "cell_hour_counts",
     "hierarchical_rollup",
+    "lang_rollup",
+    "neighbors_interior",
     "dedup_exact",
     "jaccard_pairs",
     "minhash_near_dups",

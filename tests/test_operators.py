@@ -318,3 +318,64 @@ def test_checkpoint_recomputes_on_changed_plan(spark, tmp_path):
     out_changed = p3.stage("s", lambda: docs.filter(F.col("doc_id") % 2 == 1))
     assert p3.metrics[0].get("resumed") is False
     assert out_changed.count() == 50 and {r["doc_id"] % 2 for r in out_changed.collect()} == {1}
+
+
+def test_streaming_watermark_drops_late_data(spark, tmp_path):
+    """Watermark semantics: an event older than (max seen ts - watermark)
+    arriving in a LATER micro-batch must not re-open its closed window in
+    append mode. Two separate availableNow runs share one checkpoint, so
+    this also exercises state/watermark recovery from the commit log."""
+    import glob
+    import os
+    import shutil
+    from datetime import datetime
+
+    from s2cell_spark.streaming.ingest import streaming_cell_counts
+
+    def mk(rows):
+        return spark.createDataFrame(
+            rows, "url string, warc_ts timestamp, lat double, lon double"
+        )
+
+    t0 = datetime(2024, 1, 1, 0, 30)
+    late = datetime(2024, 1, 1, 0, 15)   # same 00:00 window as t0
+    ahead = datetime(2024, 1, 3, 0, 0)   # advances the watermark past t0
+    b1 = mk([("a", t0, 10.0, 10.0), ("b", t0, 10.0, 10.0), ("c", ahead, 10.0, 10.0)])
+    b2 = mk([("d", late, 10.0, 10.0)])   # late by ~2 days > 2h watermark
+
+    src = str(tmp_path / "wm_src")
+    ckpt = str(tmp_path / "wm_ckpt")
+    os.makedirs(src)
+
+    def drop_file(tag, df):
+        tmp = src + "_" + tag
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        shutil.copy(glob.glob(tmp + "/part-*.parquet")[0], f"{src}/batch_{tag}.parquet")
+
+    sink = str(tmp_path / "wm_sink")
+
+    def run_once():
+        stream = spark.readStream.schema(b1.schema).parquet(src)
+        out = streaming_cell_counts(stream, level=4, window="1 hour", watermark="2 hours")
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    drop_file("a", b1)
+    run_once()   # watermark commits at ~Jan 2 22:00; 00:00 window emits
+    drop_file("b", b2)
+    run_once()   # late row is below the recovered watermark -> dropped
+
+    rows = spark.read.parquet(sink).collect()
+    counts = {}
+    for r in rows:
+        counts[r["window_start"]] = counts.get(r["window_start"], 0) + r["n_pages"]
+    # the 00:00 window closed with 2 on-time pages and the late row neither
+    # re-opened it nor produced a second emission
+    assert counts.get(datetime(2024, 1, 1, 0, 0)) == 2
