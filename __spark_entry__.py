@@ -76,6 +76,18 @@ def _spark_haversine(qlat: float, qlon: float):
     return haversine_deg(F.lit(qlat), F.lit(qlon), F.col("lat"), F.col("lon"))
 
 
+def _flit(x) -> str:
+    """float64 -> DuckDB literal that parses directly as DOUBLE.
+
+    Bare decimal literals (``repr(3.14)``) are typed DECIMAL by DuckDB and
+    cast to DOUBLE afterwards — off by 1 ulp for ~6% of values. An
+    exponent suffix makes the literal DOUBLE from the start, and
+    string->DOUBLE parsing is correctly rounded, so ``repr`` round-trips
+    the exact bits (CLAUDE.md e0-literal invariant)."""
+    r = repr(float(x))
+    return r if ("e" in r or "E" in r or "inf" in r or "nan" in r) else r + "e0"
+
+
 def _sql_haversine(qlat: str, qlon: str, lat: str = "lat", lon: str = "lon") -> str:
     """Identical operation order to operators.knn.haversine_deg."""
     sp = f"sin(radians({lat} - ({qlat})) / 2.0)"
@@ -326,10 +338,14 @@ def _q_bitops(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_cell_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode surface: every page's cell truncated to a per-row mixed
     level (doc_id % 31 — exercises levels 0..30 incl. leaf), decoded to
-    the cell-center lat/lon. Compared at fixed-point 1e-7 degrees: numpy
+    the cell-center lat/lon. Compared at fixed-point 1e-6 degrees: numpy
     and DuckDB atan2 differ in the last ulps (~4e-14 deg, inside the
-    reference's own 1e-12 gate), so raw doubles would be flaky but 1e-7
-    fixed point is deterministic."""
+    reference's own 1e-12 gate), so raw doubles would be flaky. Any fixed
+    grid still has floor boundaries — residual straddle odds are
+    ~|diff|/grid ~ 4e-8 per row (~2e-5 per 500-row sweep), 10x better
+    than the previous 1e-7 grid; true decode precision is separately
+    corpus-gated at 1e-12 in tests/test_kernels.py, so the oracle grid is
+    a cross-engine consistency check, not the precision gate."""
     from s2cell_spark import functions as S2F
 
     pages = _pages_with_cells(spark, sf_dir)
@@ -341,8 +357,8 @@ def _q_cell_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.col("cell_mixed").cast("long").alias("cell_mixed"),
-        F.floor(F.col("ll.lat") * F.lit(10000000.0)).cast("long").alias("lat_e7"),
-        F.floor(F.col("ll.lon") * F.lit(10000000.0)).cast("long").alias("lon_e7"),
+        F.floor(F.col("ll.lat") * F.lit(1000000.0)).cast("long").alias("lat_e6"),
+        F.floor(F.col("ll.lon") * F.lit(1000000.0)).cast("long").alias("lon_e6"),
     )
 
 
@@ -752,8 +768,8 @@ def _pip_polygons_oracle() -> str:
                 if y1 == y2:
                     continue  # UDF skips horizontal edges (div by zero)
                 terms.append(
-                    f"(CASE WHEN (({y1!r} > lat) <> ({y2!r} > lat)) AND "
-                    f"(lon < ({x2!r} - {x1!r}) * (lat - {y1!r}) / ({y2!r} - {y1!r}) + {x1!r}) "
+                    f"(CASE WHEN (({_flit(y1)} > lat) <> ({_flit(y2)} > lat)) AND "
+                    f"(lon < ({_flit(x2)} - {_flit(x1)}) * (lat - {_flit(y1)}) / ({_flit(y2)} - {_flit(y1)}) + {_flit(x1)}) "
                     f"THEN 1 ELSE 0 END)"
                 )
         arms.append(
@@ -784,9 +800,9 @@ def _tile_oracle() -> str:
     last = 2**TILE_ZOOM - 1
     clat = "greatest(-85.05112878, least(85.05112878, lat))"
     ty = (
-        f"floor((1.0 - ln(tan(radians({clat})) + 1.0/cos(radians({clat}))) / {math.pi!r}) / 2.0 * {n!r})"
+        f"floor((1.0 - ln(tan(radians({clat})) + 1.0/cos(radians({clat}))) / {_flit(math.pi)}) / 2.0 * {_flit(n)})"
     )
-    tx = f"floor((lon + 180.0) / 360.0 * {n!r})"
+    tx = f"floor((lon + 180.0) / 360.0 * {_flit(n)})"
     return f"""{_PAGES_CTE}
 SELECT CAST(least({tx}, {last}) AS BIGINT) AS tile_x,
        CAST(greatest(0, least({ty}, {last})) AS BIGINT) AS tile_y,
@@ -901,8 +917,8 @@ mixed AS (
 {H.decode_cte(source="mixed")}
 SELECT CAST(m.doc_id AS BIGINT) AS doc_id,
        CAST(m.cell_id AS BIGINT) AS cell_mixed,
-       CAST(floor(d.lat * 10000000.0e0) AS BIGINT) AS lat_e7,
-       CAST(floor(d.lon * 10000000.0e0) AS BIGINT) AS lon_e7
+       CAST(floor(d.lat * 1000000.0e0) AS BIGINT) AS lat_e6,
+       CAST(floor(d.lon * 1000000.0e0) AS BIGINT) AS lon_e6
 FROM mixed m JOIN s2dec d ON d.doc_id = m.doc_id
 """
 
@@ -1093,9 +1109,9 @@ def _dot_sql(a: str, b: str) -> str:
 
 
 def _vec_lit(vec) -> str:
-    """double-list literal; repr round-trips float64 exactly and DuckDB's
-    decimal-literal -> DOUBLE cast is correctly rounded."""
-    return "CAST([" + ", ".join(repr(float(x)) for x in vec) + "] AS DOUBLE[])"
+    """double-list literal; every element goes through :func:`_flit` so
+    DuckDB parses it directly as DOUBLE (bit-exact), never via DECIMAL."""
+    return "CAST([" + ", ".join(_flit(x) for x in vec) + "] AS DOUBLE[])"
 
 
 def _cosine_near_dups_oracle() -> str:
@@ -1126,7 +1142,7 @@ cand AS (
 SELECT CAST(vec_a AS BIGINT) AS vec_a, CAST(vec_b AS BIGINT) AS vec_b,
        CAST(floor(10000.0e0 * ({cos})) AS BIGINT) AS cosine_bp
 FROM cand JOIN e a ON a.vec_id = vec_a JOIN e b ON b.vec_id = vec_b
-WHERE {cos} >= {COS_THRESHOLD!r}
+WHERE {cos} >= {_flit(COS_THRESHOLD)}
 """
 
 
@@ -1259,7 +1275,7 @@ ORDER BY n_pages DESC, tile_x, tile_y LIMIT 20
 def _lang_rollup_oracle() -> str:
     n = float(2**3)
     last = 2**3 - 1
-    tx = f"least(CAST(floor((lon + 180.0e0) / 360.0e0 * {n!r}) AS BIGINT), {last})"
+    tx = f"least(CAST(floor((lon + 180.0e0) / 360.0e0 * {_flit(n)}) AS BIGINT), {last})"
     return f"""{_PAGES_CTE},
 base AS (SELECT lang, {tx} AS band FROM pages)
 SELECT coalesce(lang, '<all>') AS lang,

@@ -27,6 +27,13 @@ from pyspark.sql import functions as F
 
 LONG_MIN = -(2**63)
 _TOKEN_RE = "^[0-9a-fA-F]{1,16}$"
+# Python str.strip()'s exact whitespace set (chars where c.strip() == ''),
+# as an explicit Java regex class: Java \s is ASCII-only ([ \t\n\x0B\f\r])
+# and misses NBSP & co.; even (?U)\s misses \x1c-\x1f, which Python strips.
+_PY_WS_CLASS = (
+    "[\\t-\\r\\x1c-\\x1f \\x85\\xa0\\u1680\\u2000-\\u200a"
+    "\\u2028\\u2029\\u202f\\u205f\\u3000]"
+)
 
 
 def _lsb(cid: Column) -> Column:
@@ -132,10 +139,13 @@ def token_is_valid(tok: Column) -> Column:
 def token_to_canonical_token(tok: Column) -> Column:
     """lower, strip surrounding whitespace, strip trailing '0's;
     ''/'x' -> 'X' (s2cell/s2cell.py:805-837). The reference uses
-    ``str.strip()`` (all whitespace) — ``F.trim`` strips only spaces, so
-    the strip is a regex on ``\\s`` (tab/newline-padded tokens must
-    canonicalize identically to the kernel)."""
-    stripped = F.regexp_replace(F.lower(tok), r"^\s+|\s+$", "")
+    ``str.strip()`` (all Unicode whitespace incl. NBSP and \\x1c-\\x1f) —
+    ``F.trim`` strips only spaces and Java ``\\s`` only ASCII, so the
+    strip uses the explicit Python-whitespace class (padded tokens must
+    canonicalize identically to the reference/scalar API)."""
+    stripped = F.regexp_replace(
+        F.lower(tok), f"^{_PY_WS_CLASS}+|{_PY_WS_CLASS}+$", ""
+    )
     canon = F.regexp_replace(stripped, "0+$", "")
     return F.when(canon.isin("", "x"), F.lit("X")).otherwise(canon)
 

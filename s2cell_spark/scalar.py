@@ -16,6 +16,7 @@ Scalar parity citations: function-by-function against
 
 from __future__ import annotations
 
+import re
 from typing import List, Optional, Tuple
 
 import numpy as np
@@ -105,8 +106,6 @@ def cell_id_is_valid(cell_id: int) -> bool:
 
 def token_is_valid(token: str) -> bool:
     """hex-shape regex + contained-ID validity (ref:882-909)."""
-    import re
-
     if not isinstance(token, str):
         raise TypeError('Cannot check S2 token with type: {}'.format(type(token)))
     if not re.match(r'^[0-9a-fA-F]{1,16}$', token):

@@ -232,6 +232,14 @@ def test_range_min_invalid_is_null_not_error(spark):
 def test_canonical_token_strips_all_whitespace(spark):
     from s2cell_spark import functions as S2F
 
-    df = spark.createDataFrame([("\t2ef0\n",), ("  X ",)], "tok string")
+    # incl. Unicode whitespace (NBSP, ideographic space) and the \x1c-\x1f
+    # separators: Python str.strip() — the reference behavior — strips all
+    # of these, while Java \s (even with (?U)) does not
+    toks = ["\t2ef0\n", "  X ", "\xa02ef0\xa0", "\x1c3\x1f", "　5　"]
+    df = spark.createDataFrame([(t,) for t in toks], "tok string")
     got = [r["c"] for r in df.select(S2F.token_to_canonical_token(F.col("tok")).alias("c")).collect()]
-    assert got == ["2ef", "X"]
+    def ref(t: str) -> str:  # s2cell/s2cell.py:805-837 semantics
+        s = t.strip().lower().rstrip("0")
+        return "X" if s in ("", "x") else s
+
+    assert got == [ref(t) for t in toks]
