@@ -66,6 +66,10 @@ PIP_POLYGONS = {
 }
 CELL_LEVEL = 8
 JACC_THRESHOLD_BP = 2000
+# document-frequency cap for the capped exact-Jaccard query: at sf0.01 the
+# max shingle DF is 7, so 5 actually drops shingles (exercises the cap
+# path) while keeping most near-dup pairs
+JACC_MAX_DF = 5
 ANN_K = 5
 ANN_N_QUERIES = 8
 
@@ -463,15 +467,21 @@ def _q_neighbors_interior(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_events_by_cell(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fact x dim join with an S2 rollup: events (fact) join pages (dim,
-    broadcast) on user_id = doc_id, grouped by (level-4 cell, event_type)
-    with a JSON property extracted from props. Exercises the classic
-    star-join shape plus semi-structured extraction."""
+    """Fact x dim join with an S2 rollup: events (fact) join pages (dim)
+    on user_id = doc_id, grouped by (level-4 cell, event_type) with a
+    JSON property extracted from props. Exercises the classic star-join
+    shape plus semi-structured extraction.
+
+    The dim is derived from the PAGES table — at 10^12 pages it is the
+    biggest relation in the system, so the broadcast is size-GATED
+    (plans.joins.broadcast_if_small): hinted at test/benchmark SFs,
+    degrading to a shuffle join at scale instead of an OOM-broadcast."""
     from s2cell_spark import functions as S2F
+    from s2cell_spark.plans.joins import broadcast_if_small
 
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     pages = _pages_with_cells(spark, sf_dir)
-    dim = F.broadcast(
+    dim = broadcast_if_small(
         pages.select(
             F.col("doc_id").alias("user_id"),
             S2F.cell_id_to_token(
@@ -558,6 +568,22 @@ def _q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from s2cell_spark.operators.dedup import jaccard_pairs_exact
 
     out = jaccard_pairs_exact(_load_docs(spark, sf_dir), JACC_THRESHOLD_BP)
+    return out.select(
+        F.col("doc_a").cast("long").alias("doc_a"),
+        F.col("doc_b").cast("long").alias("doc_b"),
+        F.col("jacc_bp").cast("long").alias("jacc_bp"),
+    )
+
+
+def _q_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard with the document-frequency cap active — the
+    configuration that stays linear on Zipf-skewed web text (hot
+    boilerplate shingles dropped before the O(DF^2) pair unfold)."""
+    from s2cell_spark.operators.dedup import jaccard_pairs_exact
+
+    out = jaccard_pairs_exact(
+        _load_docs(spark, sf_dir), JACC_THRESHOLD_BP, max_df=JACC_MAX_DF
+    )
     return out.select(
         F.col("doc_a").cast("long").alias("doc_a"),
         F.col("doc_b").cast("long").alias("doc_b"),
@@ -720,6 +746,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_rollup": _q_lang_rollup,
         "dedup_exact": _q_dedup_exact,
         "jaccard_pairs": _q_jaccard_pairs,
+        "jaccard_pairs_capped": _q_jaccard_capped,
         "minhash_near_dups": _q_minhash_near_dups,
         "simhash": _q_simhash,
         "doc_fingerprint": _q_fingerprint,
@@ -932,18 +959,28 @@ FROM events GROUP BY 1, 2
 """
 
 
-def _jaccard_oracle() -> str:
+def _jaccard_oracle(max_df: int | None = None) -> str:
+    """Exact shingle-set Jaccard; with `max_df`, the document-frequency
+    cap mirrors operators.dedup.shingled_docs — shingles in more than
+    `max_df` docs are removed from every set before sizes/intersections."""
+    if max_df is None:
+        cap_ctes, pair_src = "", "sh"
+    else:
+        cap_ctes = f"""
+kept AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= {max_df}),
+shk AS (SELECT sh.doc, sh.s FROM sh JOIN kept USING (s)),"""
+        pair_src = "shk"
     return f"""WITH w AS (
   SELECT doc_id AS doc, {_WORDS} AS ws FROM documents
 ),
 sh AS (
   SELECT DISTINCT doc, unnest(list_transform(range(1, len(ws)-1), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s
   FROM w WHERE len(ws) >= 3
-),
-sz AS (SELECT doc, COUNT(*) AS sz FROM sh GROUP BY doc),
+),{cap_ctes}
+sz AS (SELECT doc, COUNT(*) AS sz FROM {pair_src} GROUP BY doc),
 inter AS (
   SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS i
-  FROM sh a JOIN sh b USING (s) WHERE a.doc < b.doc GROUP BY 1, 2
+  FROM {pair_src} a JOIN {pair_src} b USING (s) WHERE a.doc < b.doc GROUP BY 1, 2
 )
 SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b,
        CAST(floor((10000 * i) / (sa.sz + sb.sz - i)) AS BIGINT) AS jacc_bp
@@ -1331,6 +1368,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_rollup": _lang_rollup_oracle(),
         "dedup_exact": _dedup_oracle(),
         "jaccard_pairs": _jaccard_oracle(),
+        "jaccard_pairs_capped": _jaccard_oracle(max_df=JACC_MAX_DF),
         "minhash_near_dups": _minhash_oracle(),
         "simhash": _simhash_oracle(),
         "doc_fingerprint": _fingerprint_oracle(),

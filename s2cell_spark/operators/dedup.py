@@ -79,13 +79,39 @@ def ensure_split(df: DataFrame) -> DataFrame:
     return df
 
 
-def shingled_docs(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """(doc, ws) with ws = DISTINCT shingle set, docs with >= 1 shingle."""
+def shingled_docs(
+    docs: DataFrame, id_col: str = "doc_id", max_df: int | None = None
+) -> DataFrame:
+    """(doc, ws) with ws = DISTINCT shingle set, docs with >= 1 shingle.
+
+    ``max_df`` applies a document-frequency cap: shingles appearing in
+    more than `max_df` docs are removed from every doc's set BEFORE any
+    pairing (one pre-aggregate ``groupBy(shingle).count`` + a
+    co-partitioned filter join — the count exchange is reused, then the
+    per-doc arrays are rebuilt). On Zipf-skewed web text boilerplate
+    shingles ("all rights reserved ...") reach DF in the millions, and
+    every downstream shared-shingle pairing is O(DF^2) per shingle — the
+    cap is what keeps exact-Jaccard linear at corpus scale, while leaving
+    high-Jaccard pairs intact (near-dup pairs share mostly LOW-DF
+    shingles). Semantics: Jaccard over the CAPPED shingle sets (sizes and
+    intersections both exclude dropped shingles); docs whose every
+    shingle is dropped vanish, as with no-shingle docs."""
     narrow = ensure_split(docs.select(F.col(id_col).alias("doc"), F.col("text")))
-    return (
+    sets = (
         narrow.select("doc", words_col().alias("wsa"))
         .select("doc", F.array_distinct(shingles_from_words(F.col("wsa"))).alias("ws"))
         .filter(F.size("ws") > 0)
+    )
+    if max_df is None:
+        return sets
+    dw = sets.select("doc", F.explode("ws").alias("w"))
+    kept = dw.groupBy("w").agg(F.count("*").alias("df_w")).filter(
+        F.col("df_w") <= max_df
+    )
+    return (
+        dw.join(kept.select("w"), on="w")
+        .groupBy("doc")
+        .agg(F.array_sort(F.collect_list("w")).alias("ws"))
     )
 
 
@@ -99,7 +125,8 @@ def exact_dup_groups(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
 
 def jaccard_pairs_exact(
-    docs: DataFrame, threshold_bp: int, id_col: str = "doc_id"
+    docs: DataFrame, threshold_bp: int, id_col: str = "doc_id",
+    max_df: int | None = None,
 ) -> DataFrame:
     """All doc pairs (a < b) with 3-gram-shingle-SET Jaccard >= threshold
     (basis points; floor of double division — identical in DuckDB).
@@ -110,11 +137,14 @@ def jaccard_pairs_exact(
     sharing a shingle group into a sorted list, pair combinations unfold
     natively, and a final pair-key aggregate counts intersections —
     sizes arrive with the pairs, so no sizes join at the end.
-    Shingle keys are Zipf-skewed; at scale add a document-frequency cap
-    (drop shingles appearing in > X% of docs) via one pre-aggregate — it
-    leaves high-Jaccard pairs intact and removes the hot group keys.
+
+    Shingle keys are Zipf-skewed and the pair unfold is O(DF^2) per
+    shingle — at web scale ALWAYS set ``max_df`` (document-frequency cap,
+    see :func:`shingled_docs`): it drops boilerplate shingles before any
+    pairing, keeping the pair count linear in the corpus. Default off so
+    the uncapped result stays the exact full-set Jaccard.
     """
-    base = shingled_docs(docs, id_col)
+    base = shingled_docs(docs, id_col, max_df=max_df)
     dw = base.select("doc", F.size("ws").alias("sz"), F.explode("ws").alias("w"))
     per_s = dw.groupBy("w").agg(
         F.array_sort(F.collect_list(F.struct("doc", "sz"))).alias("ds")

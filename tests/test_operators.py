@@ -133,6 +133,65 @@ def test_minhash_recall_and_precision(spark):
         assert len(got & exact) / len(exact) >= 0.8
 
 
+def test_jaccard_df_cap_kills_hot_shingle_blowup(spark):
+    """Pathological Zipf fixture: every doc shares one boilerplate
+    sentence ('all rights reserved ...' style), plus unique content. The
+    uncapped pair unfold is O(n_docs^2) on the hot shingles; with the DF
+    cap the hot shingles are dropped BEFORE pairing, the internal pair
+    stage stays linear, and the result equals a brute-force Jaccard over
+    the capped shingle sets."""
+    import itertools
+
+    boiler = "all rights reserved contact us terms of service"
+    n = 60
+    rows = [(i, f"{boiler} unique{i} alpha{i} beta{i} gamma{i} delta{i}") for i in range(n)]
+    # two true near-dup docs sharing low-DF content
+    rows += [(100, "the quick brown fox jumps over the lazy dog today"),
+             (101, "the quick brown fox jumps over the lazy dog tonight")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    from s2cell_spark.operators import dedup as D
+
+    cap = 5
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jacc_bp"]
+        for r in D.jaccard_pairs_exact(docs, 1000, max_df=cap).collect()
+    }
+
+    # brute-force oracle over capped shingle sets
+    def shingles(t):
+        ws = [w for w in __import__("re").split("[^a-z0-9]+", t.lower()) if w]
+        return {" ".join(ws[i : i + 3]) for i in range(len(ws) - 2)}
+
+    sets = {i: shingles(t) for i, t in rows}
+    df_count: dict[str, int] = {}
+    for s in sets.values():
+        for sh in s:
+            df_count[sh] = df_count.get(sh, 0) + 1
+    capped = {i: {sh for sh in s if df_count[sh] <= cap} for i, s in sets.items()}
+    want = {}
+    for a, b in itertools.combinations(sorted(capped), 2):
+        sa, sb = capped[a], capped[b]
+        if not sa or not sb:
+            continue
+        inter = len(sa & sb)
+        if inter == 0:
+            continue
+        bp = (10000 * inter) // (len(sa) + len(sb) - inter)
+        if bp >= 1000:
+            want[(a, b)] = bp
+    assert got == want
+    assert (100, 101) in got  # the true near-dup pair survives the cap
+
+    # the linearity claim, measured: the internal pair stage emits ZERO
+    # rows for the boilerplate shingles (DF = 60 > cap), so total unfolded
+    # pairs collapse from O(n^2 * hot_shingles) to the few content pairs
+    base = D.shingled_docs(docs, max_df=cap)
+    dw = base.select("doc", F.size("ws").alias("sz"), F.explode("ws").alias("w"))
+    per_shingle = dw.groupBy("w").count()
+    assert per_shingle.agg(F.max("count")).collect()[0][0] <= cap
+
+
 def test_checkpoint_resume_byte_identical(spark, tmp_path):
     """t4: kill-between-stages resume — second run reuses stage 1's
     snapshot and final output is byte-identical."""

@@ -88,6 +88,39 @@ def test_native_queries_have_no_python_eval(spark, entry, name):
     assert "BatchEvalPython" not in plan, name
 
 
+def test_events_by_cell_broadcasts_small_dim(spark, entry):
+    """At test SF the pages dim estimate is tiny -> the size gate applies
+    the broadcast hint and the star join is a BroadcastHashJoin."""
+    plan = _plan(entry.queries()["events_by_cell"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_events_by_cell_degrades_to_shuffle_join_when_dim_large(spark, entry):
+    """The scale half of the size gate: when the threshold says the dim is
+    too big to broadcast (threshold 0 stands in for a 10^12-page dim), the
+    equi-join must degrade to a shuffle hash / sort-merge join — never a
+    BroadcastNestedLoopJoin, never a forced broadcast of the pages side."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(entry.queries()["events_by_cell"](spark, SF))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan)
+
+
+def test_broadcast_if_small_size_gate():
+    from s2cell_spark.plans.joins import _parse_size_conf
+
+    assert _parse_size_conf("10485760b") == 10 << 20
+    assert _parse_size_conf("10m") == 10 << 20
+    assert _parse_size_conf("1gb") == 1 << 30
+    assert _parse_size_conf("-1") == -1
+    assert _parse_size_conf("52428800") == 50 << 20
+
+
 def test_heatmap_has_partial_aggregation(spark, entry):
     plan = _plan(entry.queries()["cell_heatmap_l8"](spark, SF))
     # partial + final pair around one exchange

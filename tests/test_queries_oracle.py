@@ -35,6 +35,7 @@ MIN_ROWS = {
     "events_by_cell": 250,
     "top_tiles": 20,
     "jaccard_pairs": 10,
+    "jaccard_pairs_capped": 10,
     "minhash_near_dups": 10,
     "simhash": 400,
     "ann_topk": 35,
