@@ -10,11 +10,23 @@ constants:
    driver loop only ever collects per-query COUNTS (tiny aggregates).
 2. **Radius verification**: take each query's kth-smallest candidate
    distance d_k, cover the great-circle cap of radius d_k with a lat/lon
-   bbox (meridian-convergence-aware), run the rectangle containment join,
-   and re-rank with an exact haversine + window top-k. Any true neighbor
-   lies within d_k of the query, hence inside the cap, hence in the
-   covering — so the final top-k is exact even if phase 1's rings were too
-   coarse.
+   bbox (meridian-convergence-aware), COVER the bbox with S2 cells, and
+   re-query via a containment join + exact bbox filter + haversine
+   re-rank. Any true neighbor lies within d_k of the query, hence inside
+   the cap, hence the bbox, hence the covering — so the final top-k is
+   exact even if phase 1's rings were too coarse.
+
+Scan hygiene at 100 TB (the properties a 1000-executor run needs):
+
+* ONE narrow projection of pages — (id, lat, lon, cell) — is cached and
+  feeds every ring iteration AND the phase-2 re-query; the wide table is
+  scanned once no matter how many rounds the loop takes.
+* The initial ring count is DENSITY-SEEDED (expected candidates per ring
+  set from the global page count), so the typical query needs one round,
+  not O(log r) doubling rounds from r=1.
+* Phase 2 is a cell-covering containment join (equi/interval — never the
+  BroadcastNestedLoopJoin Spark plans for a raw non-equi bbox predicate,
+  which would be O(pages x queries)); asserted in tests/test_plans.py.
 
 Distances use the haversine great-circle formula on a unit sphere
 (returned in degrees of arc) — matching the DuckDB oracle expression
@@ -28,6 +40,7 @@ import math
 import numpy as np
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from s2cell_spark import functions as S2F
 from s2cell_spark import kernels as K
@@ -51,7 +64,6 @@ def _ring_cells(queries: list[tuple[int, float, float]], level: int, n_rings: in
     lon = np.array([q[2] for q in queries])
     center = K.lat_lon_to_cell_id(lat, lon, level)
     rows: set[tuple[int, int]] = set()
-    per_query: list[set[int]] = []
     for qi, c in enumerate(center):
         seen = {int(c)}
         frontier = {int(c)}
@@ -61,9 +73,32 @@ def _ring_cells(queries: list[tuple[int, float, float]], level: int, n_rings: in
             nxt = set(int(x) for x in grid[valid]) - seen
             seen |= nxt
             frontier = nxt
-        per_query.append(seen)
         rows |= {(int(qids[qi]), s) for s in seen}
     return rows
+
+
+def _seed_rings(n_pages: int, level: int, k: int) -> int:
+    """Density-seeded initial ring count: with ~n/(6*4^L) pages per
+    level-L cell, rings r cover ~(2r+1)^2 cells; pick the smallest r
+    whose expected candidate count clears 2k (safety factor for spatial
+    clustering), clamped to [1, 16]. Correctness never depends on this —
+    phase 2 verifies the radius — it only sets where the doubling loop
+    starts."""
+    density = n_pages / (6.0 * 4.0**level)
+    if density <= 0:
+        return 16
+    r = math.ceil((math.sqrt(2.0 * k / density) - 1.0) / 2.0)
+    return max(1, min(16, int(r)))
+
+
+def _bbox_covering_level(lat_span: float, lon_span: float, max_level: int = 12) -> int:
+    """Covering granularity matched to the bbox size: ~8-64 cells per
+    side (level where the cell edge is ~1/8 the span), so the covering
+    stays small for the broadcast regardless of how tiny or global the
+    verified radius turned out. Any level is CORRECT (covering is a
+    superset); this only tunes pruning vs covering size."""
+    span = max(lat_span, lon_span, 1e-9)
+    return max(0, min(max_level, int(math.log2(max(90.0 / span, 1.0))) + 3))
 
 
 def knn(
@@ -80,14 +115,27 @@ def knn(
     Returns (query_id, doc_id, dist_deg, rank) with rank 1..k ordered by
     (distance, doc_id). `level` tunes ring granularity only — correctness
     never depends on it thanks to the phase-2 radius verification.
+
+    The narrow (id, lat, lon, cell) projection is persisted for the
+    duration of the search (it backs the lazily-returned result too);
+    callers running many kNN batches can ``spark.catalog.clearCache()``
+    when done.
     """
+    from s2cell_spark.operators.containment import containment_join_range
+
     q_df = spark.createDataFrame(
         [(int(q), float(a), float(o)) for q, a, o in queries],
         "query_id long, q_lat double, q_lon double",
     )
 
+    # ---- one narrow scan of pages, shared by every phase ------------------
+    narrow = pages.select(id_col, "lat", "lon", cell_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    n_pages = narrow.count()  # materializes the cache; seeds the density
+
     # ---- phase 1: expand rings until every query has >= k candidates ----
-    n_rings = 1
+    n_rings = _seed_rings(n_pages, level, k)
     while True:
         ring_rows = _ring_cells(queries, level, n_rings)
         rings_df = spark.createDataFrame(
@@ -98,7 +146,7 @@ def knn(
             "query_id long, ring_cell long, lvl int",
         )
         key = S2F.cell_id_to_parent_cell_id(F.col(cell_col), level)
-        cand = pages.join(
+        cand = narrow.join(
             F.broadcast(rings_df), on=key == F.col("ring_cell"), how="inner"
         )
         counts = {
@@ -108,7 +156,7 @@ def knn(
         if all(counts.get(q[0], 0) >= k for q in queries):
             break
         if n_rings > 24:  # ring set has swallowed the globe; fall through
-            cand = pages.crossJoin(F.broadcast(q_df.select("query_id")))
+            cand = narrow.crossJoin(F.broadcast(q_df.select("query_id")))
             break
         n_rings *= 2
 
@@ -144,17 +192,35 @@ def knn(
             lon_lo, lon_hi = -180.0, 180.0
         verify_rows.append((qid, max(-90.0, lat_lo), min(90.0, lat_hi), lon_lo, lon_hi))
 
+    # bbox -> mixed-level cell covering per query; ONE interval containment
+    # join stabs all queries' coverings in a single pass over the cached
+    # narrow projection (broadcast intervals + searchsorted — an equi-class
+    # plan, never the O(pages x queries) BroadcastNestedLoopJoin a raw
+    # non-equi bbox join would become).
+    from s2cell_spark.operators.covering import latlng_rect_covering
+
+    regions = {
+        qid: latlng_rect_covering(
+            lat_lo, lat_hi, lon_lo, lon_hi,
+            max_level=_bbox_covering_level(lat_hi - lat_lo, lon_hi - lon_lo),
+        )
+        for qid, lat_lo, lat_hi, lon_lo, lon_hi in verify_rows
+    }
+    covered = containment_join_range(narrow, regions, cell_col=cell_col)
     boxes = spark.createDataFrame(
-        verify_rows, "query_id long, lat_lo double, lat_hi double, lon_lo double, lon_hi double"
-    ).join(q_df, on="query_id")
-    final = pages.join(
-        F.broadcast(boxes),
-        on=(F.col("lat") >= F.col("lat_lo"))
-        & (F.col("lat") <= F.col("lat_hi"))
-        & (F.col("lon") >= F.col("lon_lo"))
-        & (F.col("lon") <= F.col("lon_hi")),
-        how="inner",
-    ).withColumn("dist_deg", dist)
+        verify_rows, "region_id long, lat_lo double, lat_hi double, lon_lo double, lon_hi double"
+    ).join(q_df.withColumnRenamed("query_id", "region_id"), on="region_id")
+    final = (
+        covered.join(F.broadcast(boxes), on="region_id", how="inner")
+        .filter(
+            (F.col("lat") >= F.col("lat_lo"))
+            & (F.col("lat") <= F.col("lat_hi"))
+            & (F.col("lon") >= F.col("lon_lo"))
+            & (F.col("lon") <= F.col("lon_hi"))
+        )
+        .withColumnRenamed("region_id", "query_id")
+        .withColumn("dist_deg", dist)
+    )
     return (
         final.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)

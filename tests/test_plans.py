@@ -111,6 +111,15 @@ def test_events_by_cell_degrades_to_shuffle_join_when_dim_large(spark, entry):
     assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan)
 
 
+def test_knn_phase2_has_no_nested_loop_join(spark, entry):
+    """kNN's verified-radius re-query must plan as covering containment
+    (interval stab / equi joins) — a raw non-equi bbox join would become
+    a BroadcastNestedLoopJoin, O(pages x queries) at scale."""
+    plan = _plan(entry.queries()["knn_pages"](spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_broadcast_if_small_size_gate():
     from s2cell_spark.plans.joins import _parse_size_conf
 
