@@ -519,6 +519,36 @@ def _q_cell_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_cell_distinct_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct-URL count per level-6 cell. Deliberately the plain
+    countDistinct: Spark's distinct rewrite two-phases it (dedup shuffled
+    by (cell, url), partial counts before the cell exchange), so hot
+    cells never straggle — windows are the construct that needs salting
+    (see tile_topk_pages)."""
+    from s2cell_spark.operators.tiling import cell_distinct_urls
+
+    out = cell_distinct_urls(_pages_with_cells(spark, sf_dir), 6)
+    return out.select(
+        "cell_token", F.col("n_distinct").cast("long").alias("n_distinct")
+    )
+
+
+def _q_tile_topk_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 pages (by doc_id — a total order) per mercator zoom-6 tile.
+    Skew-safe natively: Spark plans the rank filter as WindowGroupLimit
+    Partial/Final (map-side per-key top-k before the exchange) — pinned
+    by a plan test; measured rationale in BENCH/SKEW.md."""
+    from s2cell_spark.operators.tiling import top_pages_per_tile
+
+    out = top_pages_per_tile(load_pages(spark, sf_dir), TILE_ZOOM, 3)
+    return out.select(
+        F.col("tile_x").cast("long").alias("tile_x"),
+        F.col("tile_y").cast("long").alias("tile_y"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 def _q_top_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global top-20 busiest mercator tiles (TakeOrderedAndProject path:
     orderBy + limit with a deterministic tie-break)."""
@@ -742,6 +772,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_api": _q_sql_api,
         "events_by_cell": _q_events_by_cell,
         "cell_hour_counts": _q_cell_hour,
+        "cell_distinct_urls": _q_cell_distinct_urls,
+        "tile_topk_pages": _q_tile_topk_pages,
         "top_tiles": _q_top_tiles,
         "lang_rollup": _q_lang_rollup,
         "dedup_exact": _q_dedup_exact,
@@ -1301,6 +1333,43 @@ GROUP BY 1, 2
 """
 
 
+def _cell_distinct_urls_oracle() -> str:
+    from s2cell_spark.functions import hilbert_sql as H
+
+    return f"""{_PAGES_CTE},
+{H.leaf_bits_cte(source="pages", max_level=6)}
+SELECT {H.token_sql(H.truncate_sql(6))} AS cell_token,
+       CAST(count(DISTINCT p.url) AS BIGINT) AS n_distinct
+FROM s2enc e JOIN pages p USING (doc_id)
+GROUP BY 1
+"""
+
+
+def _tile_topk_oracle() -> str:
+    n = float(2**TILE_ZOOM)
+    last = 2**TILE_ZOOM - 1
+    clat = "greatest(-85.05112878, least(85.05112878, lat))"
+    ty = (
+        f"floor((1.0 - ln(tan(radians({clat})) + 1.0/cos(radians({clat}))) / {_flit(math.pi)}) / 2.0 * {_flit(n)})"
+    )
+    tx = f"floor((lon + 180.0) / 360.0 * {_flit(n)})"
+    return f"""{_PAGES_CTE},
+tiled AS (
+  SELECT doc_id,
+         CAST(least({tx}, {last}) AS BIGINT) AS tile_x,
+         CAST(greatest(0, least({ty}, {last})) AS BIGINT) AS tile_y
+  FROM pages
+),
+ranked AS (
+  SELECT tile_x, tile_y, doc_id,
+         row_number() OVER (PARTITION BY tile_x, tile_y ORDER BY doc_id) AS rnk
+  FROM tiled
+)
+SELECT tile_x, tile_y, CAST(doc_id AS BIGINT) AS doc_id, CAST(rnk AS BIGINT) AS rank
+FROM ranked WHERE rnk <= 3
+"""
+
+
 def _top_tiles_oracle() -> str:
     inner = _tile_oracle()
     return f"""WITH t AS ({inner})
@@ -1364,6 +1433,8 @@ def oracle_sql() -> dict[str, str]:
         "sql_api": _sql_api_oracle(),
         "events_by_cell": _events_by_cell_oracle(),
         "cell_hour_counts": _cell_hour_oracle(),
+        "cell_distinct_urls": _cell_distinct_urls_oracle(),
+        "tile_topk_pages": _tile_topk_oracle(),
         "top_tiles": _top_tiles_oracle(),
         "lang_rollup": _lang_rollup_oracle(),
         "dedup_exact": _dedup_oracle(),

@@ -32,6 +32,7 @@ sys.path.insert(0, str(REPO))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
+# every queries() entry — ALL driver-checked operators are benched
 HEADLINE = [
     "s2_bitops",
     "cell_decode",
@@ -39,23 +40,34 @@ HEADLINE = [
     "events_by_cell",
     "pip_boxes_equi",
     "pip_boxes_range",
+    "pip_boxes_salted",
     "pip_polygons",
     "knn_pages",
     "tile_heatmap_z6",
     "top_tiles",
+    "tile_topk_pages",
     "cell_heatmap_l8",
     "cell_hour_counts",
+    "cell_distinct_urls",
     "hierarchical_rollup",
     "lang_rollup",
     "neighbors_interior",
+    "neighbor_symmetry",
+    "s2_roundtrip_invariants",
+    "sql_api",
     "dedup_exact",
     "jaccard_pairs",
+    "jaccard_pairs_capped",
     "minhash_near_dups",
     "simhash",
+    "doc_fingerprint",
+    "token_count",
     "quality_score",
+    "lang_id",
     "ann_topk",
     "ivf_topk",
     "cosine_near_dups",
+    "multimodal_features",
 ]
 
 
@@ -74,6 +86,160 @@ def make_spark(cores: int, shuffle_partitions: int | None = None):
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
+
+
+def run_skew() -> None:
+    """Where does hot-key skew ACTUALLY bite in Spark 4? Measured, not
+    assumed. Two scenarios on a 90%-one-key fixture, AQE off:
+
+    1. window top-k: naive rank-filter vs a hand-salted two-phase window
+       — the optimizer's WindowGroupLimit already two-phases the naive
+       form, so hand salting should LOSE (kept as evidence for why the
+       engine ships the naive window + a plan regression test);
+    2. shuffle equi-join (broadcast disabled): plain join vs
+       operators.skewjoin.salted_equi_join — no native mitigation with
+       AQE off, so salting should WIN.
+
+    Writes BENCH/SKEW.md with both results."""
+    import time as _t
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from s2cell_spark.operators.skewjoin import salted_equi_join
+
+    spark = make_spark(CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+    # 64M rows: big enough that the hot key's single-task work actually
+    # straggles (at 8M rows per-stage overhead hides every effect)
+    n = int(os.environ.get("SPARK_GRAFT_SKEW_ROWS", "64000000"))
+    k = 10
+    n_dim = 100_000
+    # 90% of rows share one key (a Zipf city cell); the rest spread
+    df = spark.range(n).select(
+        F.when(F.col("id") % 10 < 9, F.lit("hot"))
+        .otherwise(F.concat(F.lit("k"), (F.col("id") % 1024).cast("string")))
+        .alias("key"),
+        F.col("id").alias("val"),
+    )
+    dim = spark.range(n_dim).select(
+        F.when(F.col("id") == 0, F.lit("hot"))
+        .otherwise(F.concat(F.lit("k"), F.col("id").cast("string")))
+        .alias("key"),
+        (F.col("id") * 7).alias("attr"),
+    )
+
+    def win_naive() -> int:
+        w = Window.partitionBy("key").orderBy("val")
+        return (
+            df.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .count()
+        )
+
+    def win_salted() -> int:
+        # hand-rolled two-phase (NOT shipped as an operator — this is the
+        # control arm proving WindowGroupLimit already covers it)
+        w1 = Window.partitionBy("key", "_salt").orderBy("val")
+        w2 = Window.partitionBy("key").orderBy("val")
+        p1 = (
+            df.withColumn("_salt", F.pmod(F.hash("val"), F.lit(64)))
+            .withColumn("r1", F.row_number().over(w1))
+            .filter(F.col("r1") <= k)
+            .drop("r1", "_salt")
+        )
+        return p1.withColumn("rank", F.row_number().over(w2)).filter(F.col("rank") <= k).count()
+
+    def join_agg(joined) -> int:
+        return joined.agg(F.sum(F.col("val") + F.col("attr"))).collect()[0][0]
+
+    def join_plain() -> int:
+        return join_agg(df.join(dim, on="key", how="inner"))
+
+    def join_salted() -> int:
+        return join_agg(salted_equi_join(df, dim, "key", num_salts=64))
+
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # dim too big to broadcast at 10^12-pages scale
+    try:
+        # interleave variants and keep each one's best pass — the same
+        # shared-VM noise discipline as the scaling ladder
+        runs = int(os.environ.get("SPARK_GRAFT_SKEW_RUNS", "3"))
+        cases = {
+            "window_naive": win_naive,
+            "window_hand_salted": win_salted,
+            "join_plain": join_plain,
+            "join_salted": join_salted,
+        }
+        results: dict[str, dict] = {}
+        for fn in cases.values():
+            fn()  # warm
+        for _ in range(runs):
+            for name, fn in cases.items():
+                t0 = _t.time()
+                out_v = fn()
+                sec = round(_t.time() - t0, 2)
+                if name not in results or sec < results[name]["sec"]:
+                    results[name] = {"sec": sec, "out": out_v}
+        assert results["window_naive"]["out"] == results["window_hand_salted"]["out"]
+        assert results["join_plain"]["out"] == results["join_salted"]["out"]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+    join_speedup = round(results["join_plain"]["sec"] / results["join_salted"]["sec"], 2)
+    win_ratio = round(results["window_naive"]["sec"] / results["window_hand_salted"]["sec"], 2)
+    out = {
+        "metric": "hot-key skew wall sec (90% single-key fixture)",
+        "value": results["join_salted"]["sec"],
+        "unit": "sec",
+        "queries": {f"skew_{k_}_sec": v["sec"] for k_, v in results.items()}
+        | {"skew_join_salted_speedup": join_speedup, "skew_window_salting_ratio": win_ratio},
+        "sf": f"synthetic {n} rows",
+    }
+    print(json.dumps(out))
+    md = f"""# BENCH/SKEW — where hot-key skew bites in Spark 4, measured
+
+Fixture: {n:,} synthetic rows, 90% under ONE key (the Zipf city-cell
+shape at web scale); dim table {n_dim:,} rows. local[{CPUS}], AQE off,
+shuffle partitions {CPUS}, broadcast disabled for the join case (a
+pages-derived dim at 10^12 pages cannot broadcast). Best-of-{os.environ.get("SPARK_GRAFT_SKEW_RUNS", "3")}
+interleaved passes per variant.
+
+## Shuffle equi-join on the hot key — salting WINS ({join_speedup}x)
+
+| plan | wall sec |
+|---|---|
+| plain sort-merge join (hot key -> one task merges 90% of rows) | {results["join_plain"]["sec"]} |
+| `skewjoin.salted_equi_join` (64 salts, dim replicated natively) | {results["join_salted"]["sec"]} |
+
+Identical aggregate over the join output (asserted); row-level identity
+is unit-tested. With AQE ON the runtime skew-join covers much of this —
+`salted_equi_join` is for AQE-off deterministic pipelines, streaming
+micro-batches, and threshold-missed cases. At 10^12 pages the plain
+plan's hot task is ~10^11 rows; the salted plan's largest task is 1/64
+of that and scales with executors.
+
+## Window top-k on the hot key — hand salting LOSES ({win_ratio}x naive/salted: ~1 means native wins)
+
+| plan | wall sec |
+|---|---|
+| naive `row_number + filter rank <= {k}` (WindowGroupLimit Partial/Final) | {results["window_naive"]["sec"]} |
+| hand-rolled two-phase salted window | {results["window_hand_salted"]["sec"]} |
+
+Spark >= 3.5 plans the naive rank filter with a MAP-SIDE per-key top-k
+(WindowGroupLimit Partial) before the exchange, so the hot key ships
+~{k} rows per map task — the optimizer already two-phases it, and hand
+salting only adds a shuffle+sort. The engine therefore ships the naive
+window and PINS the WindowGroupLimit plan shape in
+tests/test_plans.py::test_tile_topk_window_has_partial_group_limit.
+(count/countDistinct aggregates are likewise natively two-phased — see
+the plan shown in cell_distinct_urls' docstring.)
+
+Reproduce: `python bench.py --skew` (env: SPARK_GRAFT_SKEW_ROWS,
+SPARK_GRAFT_SKEW_RUNS, SPARK_GRAFT_CPUS).
+"""
+    (REPO / "BENCH").mkdir(exist_ok=True)
+    (REPO / "BENCH" / "SKEW.md").write_text(md)
+    spark.stop()
 
 
 def run_default() -> None:
@@ -408,6 +574,8 @@ SPARK_GRAFT_SCALING_ROUNDS).
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--scaling":
         run_scaling()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--skew":
+        run_skew()
     elif len(sys.argv) > 1 and sys.argv[1] == "--throughput-once":
         run_throughput_once(int(sys.argv[2]))
     else:

@@ -97,10 +97,37 @@ def hierarchical_rollup(
     )
 
 
+def cell_distinct_urls(
+    pages: DataFrame, level: int, cell_col: str = "cell_id"
+) -> DataFrame:
+    """Distinct URLs per level-`level` cell: (cell_token, n_distinct).
+
+    Plain ``countDistinct`` on purpose: Spark's distinct rewrite plans
+    this as dedup-on-(key, url) [shuffle hash-spread by BOTH columns] ->
+    partial_count per key -> final count, so a Zipf-hot cell never
+    funnels its URLs through one reducer — exact distinct counts are
+    natively skew-safe here, unlike windows (see :func:`salted_topk`)."""
+    parent = S2F.cell_id_to_parent_cell_id(F.col(cell_col), level)
+    return (
+        pages.groupBy(S2F.cell_id_to_token(parent).alias("cell_token"))
+        .agg(F.countDistinct("url").alias("n_distinct"))
+    )
+
+
 def top_pages_per_tile(
     pages: DataFrame, zoom: int, k: int, order_col: str = "doc_id"
 ) -> DataFrame:
-    """Top-k pages per mercator tile (window rank; TakeOrdered per key)."""
+    """Top-k pages per mercator tile (adds a ``rank`` column).
+
+    Deliberately the plain ``row_number + filter rank <= k`` window:
+    Spark >= 3.5 plans this with **WindowGroupLimit Partial/Final** — a
+    map-side per-key top-k BEFORE the exchange — so a Zipf-hot tile ships
+    only ~k rows per map task and never straggles. Hand-rolled two-phase
+    salting was measured 2-3x SLOWER here (extra shuffle + sort for a
+    problem the optimizer already solved; BENCH/SKEW.md). The
+    WindowGroupLimit shape is pinned by a plan regression test so a
+    future query change that silently breaks the pushdown (e.g. using
+    rank over a non-filterable expression) fails loudly."""
     tiled = assign_mercator_tiles(pages, zoom)
     w = Window.partitionBy("tile_x", "tile_y").orderBy(F.col(order_col))
     return tiled.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

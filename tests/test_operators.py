@@ -94,6 +94,39 @@ def test_polygon_pip_vs_numpy_oracle(spark, pages):
     assert got == want and len(want) > 0
 
 
+def test_covering_size_budget():
+    """Pruning-quality regression gate: coverings must stay TIGHT, not
+    just superset-correct. Two budgets per PIP box at the query's own
+    (max_level=10, min_emit_level=6):
+
+    * raw covering size (what broadcasts) <= 1.5x the measured round-2
+      values (268..4984 cells);
+    * expanded level-10 cell count <= 2.5x the box's ideal spherical
+      cell count (measured ratios today: 0.85..1.62) — catches a coverer
+      change that silently over-covers even if the raw count stays flat.
+    """
+    import math
+
+    import __spark_entry__ as E
+
+    budget = {0: 400, 1: 410, 2: 570, 3: 4500, 4: 7500, 5: 4700}
+    total_l10 = 6 * 4**10
+    for rid, a, b, c, d in E.PIP_BOXES:
+        cov = COV.latlng_rect_covering(a, b, c, d, max_level=10, min_emit_level=6)
+        assert cov.shape[0] <= budget[rid], (
+            f"box {rid}: covering grew to {cov.shape[0]} cells (budget {budget[rid]})"
+        )
+        lvl = K.cell_id_to_level(cov).astype(int)
+        exp10 = int((4 ** (10 - lvl)).sum())
+        frac = (
+            (math.sin(math.radians(b)) - math.sin(math.radians(a)))
+            * math.radians(d - c)
+            / (4 * math.pi)
+        )
+        ratio = exp10 / (frac * total_l10)
+        assert ratio <= 2.5, f"box {rid}: covering covers {ratio:.2f}x the ideal area"
+
+
 def test_covering_superset_random_rects():
     rng = np.random.default_rng(99)
     for _ in range(4):
@@ -131,6 +164,28 @@ def test_minhash_recall_and_precision(spark):
     assert got <= exact  # verified pairs can never be false positives
     if exact:
         assert len(got & exact) / len(exact) >= 0.8
+
+
+def test_salted_equi_join_identical_to_plain(spark):
+    """salted_equi_join must produce the multiset of rows of the plain
+    join on a hot-key fixture — inner and left, any salt count."""
+    from s2cell_spark.operators.skewjoin import salted_equi_join
+
+    fact = [("hot", i) for i in range(2000)] + [(f"k{i % 13}", 10_000 + i) for i in range(300)]
+    dim = [("hot", "HOT"), ("k1", "one"), ("k2", "two"), ("nomatch", "x")]
+    fdf = spark.createDataFrame(fact, "key string, val long")
+    ddf = spark.createDataFrame(dim, "key string, attr string")
+    for how in ("inner", "left"):
+        want = sorted(
+            map(tuple, fdf.join(ddf, on="key", how=how).collect())
+        )
+        for s in (1, 8, 32):
+            got = sorted(
+                map(tuple, salted_equi_join(fdf, ddf, "key", num_salts=s, how=how).collect())
+            )
+            assert got == want, f"how={how} num_salts={s}"
+    with pytest.raises(ValueError):
+        salted_equi_join(fdf, ddf, "key", how="full")
 
 
 def test_jaccard_df_cap_kills_hot_shingle_blowup(spark):
@@ -358,6 +413,31 @@ def test_native_covering_expansion_matches_numpy(spark):
         for c in COV.covering_to_level(cells, 8)
     }
     assert native == want and len(want) > 100
+
+
+def test_iceberg_capability_gate_and_fallback(spark, tmp_path):
+    """No Iceberg jars in this container: the capability probe must say
+    so for any catalog name (configured or not), and a pipeline asked for
+    an Iceberg catalog must degrade to the parquet+manifest path and
+    still run end-to-end."""
+    from s2cell_spark.plans.checkpoint import CheckpointedPipeline, iceberg_available
+
+    assert iceberg_available(spark, "nosuchcatalog") is False
+    # configured catalog but jar absent -> still unavailable
+    spark.conf.set("spark.sql.catalog.fakeberg", "org.apache.iceberg.spark.SparkCatalog")
+    try:
+        assert iceberg_available(spark, "fakeberg") is False
+        pipe = CheckpointedPipeline(spark, str(tmp_path / "ck"), catalog="fakeberg")
+        assert pipe.use_iceberg is False
+        out = pipe.stage("s1", lambda: spark.range(10).withColumnRenamed("id", "v"))
+        assert out.count() == 10
+        assert (tmp_path / "ck" / "s1" / "_LINEAGE.json").exists()
+        # resume path reads the parquet snapshot back
+        out2 = pipe.stage("s1", lambda: spark.range(10).withColumnRenamed("id", "v"))
+        assert out2.count() == 10
+        assert pipe.metrics[-1]["resumed"] is True
+    finally:
+        spark.conf.unset("spark.sql.catalog.fakeberg")
 
 
 def test_checkpoint_recomputes_on_changed_plan(spark, tmp_path):

@@ -120,6 +120,19 @@ def test_knn_phase2_has_no_nested_loop_join(spark, entry):
     assert "CartesianProduct" not in plan
 
 
+def test_tile_topk_window_has_partial_group_limit(spark, entry):
+    """Per-tile top-k relies on Spark's WindowGroupLimit pushdown for
+    skew safety (map-side per-key top-k BEFORE the exchange — the reason
+    hand-salting this window measured slower, BENCH/SKEW.md). Pin the
+    Partial stage so a query change that breaks the pushdown (a
+    non-filterable rank expression) fails loudly instead of silently
+    re-introducing the hot-tile straggler."""
+    plan = _plan(entry.queries()["tile_topk_pages"](spark, SF))
+    # both halves of the pushdown: map-side Partial + post-shuffle Final
+    assert plan.count("WindowGroupLimit") >= 2
+    assert "row_number(), 3, Partial" in plan
+
+
 def test_broadcast_if_small_size_gate():
     from s2cell_spark.plans.joins import _parse_size_conf
 

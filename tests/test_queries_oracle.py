@@ -32,6 +32,8 @@ MIN_ROWS = {
     "cell_heatmap_l8": 200,
     "hierarchical_rollup": 500,
     "cell_hour_counts": 200,
+    "cell_distinct_urls": 150,
+    "tile_topk_pages": 300,
     "events_by_cell": 250,
     "top_tiles": 20,
     "jaccard_pairs": 10,
