@@ -501,6 +501,42 @@ def _q_events_by_cell(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_supplier_cell_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join over the LARGEST test table: lineitem (fact) x supplier
+    (dim) with the S2 dimension built on the dim side — suppliers are
+    geotagged deterministically (pure int arithmetic, shared with the
+    oracle), S2-encoded ONCE per supplier (100 rows, not 600k), then the
+    size-gated broadcast join keys the fact rows and revenue rolls up per
+    level-4 cell. The shape a 10^12-row fact table wants: the expensive
+    encode runs on the dim, the fact side never shuffles before the
+    partial aggregate."""
+    from s2cell_spark import functions as S2F
+    from s2cell_spark.plans.joins import broadcast_if_small
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    sup = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    lat = (F.col("s_suppkey") * 7919 % 16000) / F.lit(100.0) - F.lit(80.0)
+    lon = (F.col("s_suppkey") * 104729 % 36000) / F.lit(100.0) - F.lit(180.0)
+    cell = S2F.lat_lon_to_cell_id(lat, lon, 30)
+    dim = broadcast_if_small(
+        sup.select(
+            F.col("s_suppkey").alias("l_suppkey"),
+            S2F.cell_id_to_token(
+                S2F.cell_id_to_parent_cell_id(cell, 4)
+            ).alias("cell_token"),
+        )
+    )
+    cents = F.round(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * 100).cast("long")
+    return (
+        li.join(dim, on="l_suppkey")
+        .groupBy("cell_token")
+        .agg(
+            F.count("*").cast("long").alias("n_items"),
+            F.sum(cents).alias("revenue_cents"),
+        )
+    )
+
+
 def _q_cell_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spatio-temporal composition: pages per (level-6 cell, crawl hour)
     — the batch shape of a streaming per-cell windowed count with the S2
@@ -771,6 +807,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neighbors_interior": _q_neighbors_interior,
         "sql_api": _q_sql_api,
         "events_by_cell": _q_events_by_cell,
+        "supplier_cell_revenue": _q_supplier_cell_revenue,
         "cell_hour_counts": _q_cell_hour,
         "cell_distinct_urls": _q_cell_distinct_urls,
         "tile_topk_pages": _q_tile_topk_pages,
@@ -1319,6 +1356,28 @@ GROUP BY 1, 2
 """
 
 
+def _supplier_cell_revenue_oracle() -> str:
+    from s2cell_spark.functions import hilbert_sql as H
+
+    return f"""WITH sup AS (
+  SELECT s_suppkey AS doc_id,
+         (s_suppkey * 7919 % 16000) / 100.0e0 - 80.0e0 AS lat,
+         (s_suppkey * 104729 % 36000) / 100.0e0 - 180.0e0 AS lon
+  FROM supplier
+),
+{H.leaf_bits_cte(source="sup", max_level=4)},
+dim AS (
+  SELECT doc_id AS l_suppkey, {H.token_sql(H.truncate_sql(4))} AS cell_token
+  FROM s2enc
+)
+SELECT dim.cell_token,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(CAST(round(l.l_extendedprice * (1.0e0 - l.l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM lineitem l JOIN dim USING (l_suppkey)
+GROUP BY 1
+"""
+
+
 def _cell_hour_oracle() -> str:
     from s2cell_spark.functions import hilbert_sql as H
 
@@ -1432,6 +1491,7 @@ def oracle_sql() -> dict[str, str]:
         "neighbors_interior": _neighbors_oracle(),
         "sql_api": _sql_api_oracle(),
         "events_by_cell": _events_by_cell_oracle(),
+        "supplier_cell_revenue": _supplier_cell_revenue_oracle(),
         "cell_hour_counts": _cell_hour_oracle(),
         "cell_distinct_urls": _cell_distinct_urls_oracle(),
         "tile_topk_pages": _tile_topk_oracle(),

@@ -38,6 +38,7 @@ HEADLINE = [
     "cell_decode",
     "events_window_1h",
     "events_by_cell",
+    "supplier_cell_revenue",
     "pip_boxes_equi",
     "pip_boxes_range",
     "pip_boxes_salted",

@@ -50,6 +50,40 @@ def streaming_cell_counts(
     )
 
 
+def streaming_containment_counts(
+    pages_stream: DataFrame,
+    coverings: DataFrame,
+    level: int,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Windowed per-REGION page counts over a stream: encode each page's
+    cell in-stream (the pandas UDF runs per micro-batch unchanged), then
+    a STREAM-STATIC broadcast equi-join against the normalized covering
+    dim (`coverings` = the batch
+    ``containment.normalized_coverings_df(spark, regions, level)`` —
+    static, tiny, broadcast into every micro-batch), then watermarked
+    tumbling-window counts per (window, region).
+
+    The static side never needs state: Spark re-plans the broadcast per
+    micro-batch, so covering updates between restarts are picked up; the
+    only streaming state is the windowed aggregate keyed by
+    (window, region_id) — bounded by the watermark."""
+    with_cell = pages_stream.withColumn(
+        "cell_id", S2F.lat_lon_to_cell_id(F.col("lat"), F.col("lon"), 30)
+    )
+    key = S2F.cell_id_to_parent_cell_id(F.col("cell_id"), level)
+    joined = with_cell.join(
+        F.broadcast(coverings), on=key == F.col("cov_cell"), how="inner"
+    )
+    return (
+        joined.withWatermark("warc_ts", watermark)
+        .groupBy(F.window("warc_ts", window).alias("win"), F.col("region_id"))
+        .agg(F.count("*").alias("n_pages"))
+        .select(F.col("win.start").alias("window_start"), "region_id", "n_pages")
+    )
+
+
 _FIRST_SEEN_OUT = StructType(
     [
         StructField("text_md5", StringType()),

@@ -322,6 +322,46 @@ def test_streaming_matches_batch(spark, tmp_path):
     assert got == want and len(want) > 0
 
 
+def test_streaming_containment_matches_batch(spark, tmp_path):
+    """Stream-static containment join (streamed pages vs broadcast
+    covering dim) == the batch containment join + count on the same
+    input, per region."""
+    import __spark_entry__ as E
+    from s2cell_spark.operators.containment import (
+        containment_join_equi,
+        normalized_coverings_df,
+    )
+    from s2cell_spark.streaming.ingest import streaming_containment_counts
+
+    src = str(tmp_path / "stream_src2")
+    load_pages(spark, SF_SMOKE).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    cov = normalized_coverings_df(spark, E._box_regions(), 10)
+    out = streaming_containment_counts(
+        stream, cov, level=10, window="24 hours", watermark="48 hours"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("contcounts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["region_id"], r["n_pages"])
+        for r in spark.sql("select region_id, n_pages from contcounts").collect()
+    }
+    batch = containment_join_equi(
+        with_cell_id(load_pages(spark, SF_SMOKE)), spark, E._box_regions(), level=10
+    )
+    want = {
+        (r["region_id"], r["n"])
+        for r in batch.groupBy("region_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert got == want and len(want) > 0
+
+
 def test_multimodal_features_deterministic(spark):
     from s2cell_spark.operators.multimodal import attach_fake_media, extract_features
 

@@ -33,6 +33,7 @@ MIN_ROWS = {
     "hierarchical_rollup": 500,
     "cell_hour_counts": 200,
     "cell_distinct_urls": 150,
+    "supplier_cell_revenue": 40,
     "tile_topk_pages": 300,
     "events_by_cell": 250,
     "top_tiles": 20,
