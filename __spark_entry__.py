@@ -186,18 +186,20 @@ def _q_pip(strategy: str):
 
 
 def _q_pip_polygons(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full PIP pipeline on real polygons: bbox-covering candidate prune
-    (broadcast containment join) -> exact even-odd ray-cast (vectorized
-    numpy UDF) per region. Two regions: a concave polygon and a polygon
-    with a hole."""
+    """Full PIP pipeline on real polygons: POLYGON-AWARE covering prune
+    (cells fully outside the even-odd region — including inside holes —
+    never become candidates; broadcast containment join) -> exact
+    even-odd ray-cast (vectorized numpy UDF) per region. Two regions: a
+    concave polygon (covering area ~2x tighter than its bbox) and a
+    polygon with a hole (hole excluded from the covering)."""
     import numpy as np
 
     from s2cell_spark.operators.containment import containment_join_equi, point_in_polygon_udf
-    from s2cell_spark.operators.covering import polygon_bbox_covering
+    from s2cell_spark.operators.covering import polygon_covering
 
     pages = _pages_with_cells(spark, sf_dir)
     regions = {
-        rid: polygon_bbox_covering([np.asarray(r) for r in rings], max_level=10)
+        rid: polygon_covering([np.asarray(r) for r in rings], max_level=10)
         for rid, rings in PIP_POLYGONS.items()
     }
     joined = containment_join_equi(pages, spark, regions, level=10)

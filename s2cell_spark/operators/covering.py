@@ -171,14 +171,147 @@ def polygon_bbox_covering(
     """Covering of a polygon's lat/lon bounding box (rings: list of (k, 2)
     (lat, lon) vertex arrays). A bbox covering is a superset of the polygon
     covering, which is all candidate pruning needs — the exact ray-cast
-    stage removes the slack. Tighter polygon-aware coverings would only
-    improve pruning, not correctness."""
+    stage removes the slack. :func:`polygon_covering` is the tighter
+    polygon-aware version (same superset guarantee, fewer cells)."""
     vs = np.concatenate([np.asarray(r, dtype=np.float64) for r in rings])
     return latlng_rect_covering(
         float(vs[:, 0].min()), float(vs[:, 0].max()),
         float(vs[:, 1].min()), float(vs[:, 1].max()),
         max_level=max_level, min_emit_level=min_emit_level,
     )
+
+
+def _edges_intersect_boxes(
+    rings: list[np.ndarray],
+    lat_lo: np.ndarray,
+    lat_hi: np.ndarray,
+    lon_lo: np.ndarray,
+    lon_hi: np.ndarray,
+) -> np.ndarray:
+    """Per box: does ANY polygon edge segment intersect it? Exact
+    segment-vs-rect test, vectorized over (boxes x edges): bbox overlap
+    AND the edge's line separates no rect corner set (all four corners
+    strictly on one side of the line => no crossing)."""
+    hit = np.zeros(lat_lo.shape, dtype=bool)
+    for ring in rings:
+        k = len(ring)
+        y1 = ring[:, 0][None, :]
+        x1 = ring[:, 1][None, :]
+        y2 = np.roll(ring[:, 0], -1)[None, :]
+        x2 = np.roll(ring[:, 1], -1)[None, :]
+        # (n_boxes, k) bbox-overlap between each edge's bbox and each box
+        bb = (
+            (np.maximum(y1, y2) >= lat_lo[:, None])
+            & (np.minimum(y1, y2) <= lat_hi[:, None])
+            & (np.maximum(x1, x2) >= lon_lo[:, None])
+            & (np.minimum(x1, x2) <= lon_hi[:, None])
+        )
+        # line side test on the 4 corners: f(x, y) = (y2-y1)(x-x1) - (x2-x1)(y-y1).
+        # No crossing ONLY when all four corners are STRICTLY on one side
+        # (a corner exactly on the line counts as a hit — conservative).
+        dy = y2 - y1
+        dx = x2 - x1
+        all_pos = np.ones(bb.shape, dtype=bool)
+        all_neg = np.ones(bb.shape, dtype=bool)
+        for cy, cx in (
+            (lat_lo, lon_lo), (lat_lo, lon_hi), (lat_hi, lon_lo), (lat_hi, lon_hi)
+        ):
+            f = dy * (cx[:, None] - x1) - dx * (cy[:, None] - y1)
+            all_pos &= f > 0
+            all_neg &= f < 0
+        hit |= (bb & ~(all_pos | all_neg)).any(axis=1)
+        del k
+    return hit
+
+
+def _points_in_polygon(rings: list[np.ndarray], lat: np.ndarray, lon: np.ndarray) -> np.ndarray:
+    """Even-odd ray cast across all rings (holes flip parity) — the same
+    term order as containment.point_in_polygon_udf."""
+    inside = np.zeros(lat.shape, dtype=bool)
+    for ring in rings:
+        ry, rx = ring[:, 0], ring[:, 1]
+        for a in range(len(ring)):
+            b = (a + 1) % len(ring)
+            y1, x1, y2, x2 = ry[a], rx[a], ry[b], rx[b]
+            if y1 == y2:
+                continue
+            cond = ((y1 > lat) != (y2 > lat)) & (
+                lon < (x2 - x1) * (lat - y1) / (y2 - y1) + x1
+            )
+            inside ^= cond
+    return inside
+
+
+def polygon_covering(
+    rings: list, max_level: int = 10, min_emit_level: int | None = None
+) -> np.ndarray:
+    """POLYGON-AWARE covering (mixed levels): superset of the even-odd
+    region of `rings` (holes supported), tighter than the bbox covering.
+
+    BFS classification per candidate cell, all via the conservative
+    lat/lng bbox (bbox ⊇ cell, so every branch is safe):
+
+    * bbox disjoint from the polygon's overall bbox -> prune;
+    * no polygon edge intersects the bbox AND bbox center is OUTSIDE
+      (even-odd) -> the whole bbox, hence the cell, is outside -> prune;
+    * no edge intersects AND center INSIDE -> whole bbox inside -> emit
+      (subject to min_emit_level, like the rect coverer);
+    * an edge crosses (or the cell is pole/antimeridian `lon_full`) ->
+      boundary: recurse, emit at max_level.
+
+    Superset proof as for the rect coverer: a leaf cell containing any
+    polygon point has ancestors whose bboxes all contain that point, so
+    no ancestor is ever pruned (both prune branches require the whole
+    bbox to miss the region); some ancestor is emitted. Planar lat/lon
+    edge semantics; antimeridian-crossing polygons must be pre-split
+    (documented engine semantic, same as the exact PIP stage)."""
+    rings = [np.asarray(r, dtype=np.float64) for r in rings]
+    if min_emit_level is None:
+        min_emit_level = max(0, max_level - 4)
+    vs = np.concatenate(rings)
+    p_lat_lo, p_lat_hi = float(vs[:, 0].min()), float(vs[:, 0].max())
+    p_lon_lo, p_lon_hi = float(vs[:, 1].min()), float(vs[:, 1].max())
+
+    frontier = (np.arange(6, dtype=np.uint64) << np.uint64(61)) | (
+        np.uint64(1) << np.uint64(60)
+    )
+    out: list[np.ndarray] = []
+    for level in range(0, max_level + 1):
+        if frontier.size == 0:
+            break
+        c_lat_lo, c_lat_hi, c_lon_lo, c_lon_hi, c_lon_full = cell_latlng_bbox(frontier)
+        lat_disjoint = (c_lat_hi < p_lat_lo) | (c_lat_lo > p_lat_hi)
+        lon_disjoint = (~c_lon_full) & ((c_lon_hi < p_lon_lo) | (c_lon_lo > p_lon_hi))
+        keep = ~(lat_disjoint | lon_disjoint)
+
+        boundary = np.zeros(frontier.shape, dtype=bool)
+        inside = np.zeros(frontier.shape, dtype=bool)
+        idx = np.nonzero(keep)[0]
+        if idx.size:
+            k_lon_full = c_lon_full[idx]
+            cross = np.zeros(idx.shape, dtype=bool)
+            narrow = ~k_lon_full
+            if narrow.any():
+                ni = idx[narrow]
+                cross[narrow] = _edges_intersect_boxes(
+                    rings, c_lat_lo[ni], c_lat_hi[ni], c_lon_lo[ni], c_lon_hi[ni]
+                )
+            # lon_full cells (pole/antimeridian) can't be classified by the
+            # planar test -> treat as boundary (conservative)
+            boundary[idx] = cross | k_lon_full
+            quiet = idx[~(cross | k_lon_full)]
+            if quiet.size:
+                cy = (c_lat_lo[quiet] + c_lat_hi[quiet]) / 2.0
+                cx = (c_lon_lo[quiet] + c_lon_hi[quiet]) / 2.0
+                inside[quiet] = _points_in_polygon(rings, cy, cx)
+
+        keep = keep & (boundary | inside)
+        emit = keep & ((inside & (level >= min_emit_level)) | (level == max_level))
+        if emit.any():
+            out.append(frontier[emit])
+        expand = keep & ~emit
+        frontier = _children(frontier[expand]) if expand.any() else np.empty(0, dtype=np.uint64)
+    return np.concatenate(out) if out else np.empty(0, dtype=np.uint64)
 
 
 def covering_to_level(ids: np.ndarray, level: int) -> np.ndarray:

@@ -127,6 +127,53 @@ def test_covering_size_budget():
         assert ratio <= 2.5, f"box {rid}: covering covers {ratio:.2f}x the ideal area"
 
 
+def test_polygon_covering_superset_and_tighter():
+    """polygon_covering must (a) contain every interior point of random
+    concave polygons incl. holes — the superset property PIP correctness
+    rests on — and (b) cover less expanded area than the bbox covering
+    for the driver's concave polygon (the tightness win it exists for)."""
+    import __spark_entry__ as E
+    from s2cell_spark.operators.covering import (
+        _points_in_polygon,
+        polygon_bbox_covering,
+        polygon_covering,
+    )
+
+    rng = np.random.default_rng(11)
+    cases = [[np.asarray(r, dtype=float) for r in rings] for rings in E.PIP_POLYGONS.values()]
+    for _ in range(4):  # random star-shaped concave polygons
+        k = rng.integers(5, 10)
+        ang = np.sort(rng.uniform(0, 2 * np.pi, k))
+        rad = rng.uniform(3.0, 25.0, k)
+        c_lat, c_lon = rng.uniform(-50, 50), rng.uniform(-120, 120)
+        ring = np.stack([c_lat + rad * np.sin(ang), c_lon + rad * np.cos(ang)], axis=1)
+        cases.append([ring])
+    for rings in cases:
+        cov = polygon_covering(rings, max_level=10)
+        assert cov.size > 0
+        vs = np.concatenate(rings)
+        lat = rng.uniform(vs[:, 0].min(), vs[:, 0].max(), 50_000)
+        lon = rng.uniform(vs[:, 1].min(), vs[:, 1].max(), 50_000)
+        inside = _points_in_polygon(rings, lat, lon)
+        leaf = K.lat_lon_to_cell_id(lat[inside], lon[inside], 30)
+        order = np.argsort(K.cell_id_range_min(cov) ^ np.uint64(1 << 63), kind="stable")
+        lo = np.sort(K.cell_id_range_min(cov) ^ np.uint64(1 << 63))
+        hi = (K.cell_id_range_max(cov) ^ np.uint64(1 << 63))[order]
+        ls = leaf ^ np.uint64(1 << 63)
+        idx = np.searchsorted(lo, ls, side="right") - 1
+        ok = (idx >= 0) & (ls <= hi[np.clip(idx, 0, len(hi) - 1)])
+        assert ok.all(), "polygon covering missed interior points"
+
+    def exp10(cov):
+        lvl = K.cell_id_to_level(cov).astype(int)
+        return int((4 ** (10 - lvl)).sum())
+
+    concave = [np.asarray(r, dtype=float) for r in E.PIP_POLYGONS[0]]
+    assert exp10(polygon_covering(concave, max_level=10)) < 0.6 * exp10(
+        polygon_bbox_covering(concave, max_level=10)
+    )
+
+
 def test_covering_superset_random_rects():
     rng = np.random.default_rng(99)
     for _ in range(4):
