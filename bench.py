@@ -314,6 +314,12 @@ def _make_throughput_job(spark, path: str):
     )
     from s2cell_spark.sources.pages import with_cell_id
 
+    # the throughput job's UDF input is (lat, lon) doubles — 16 B/row — so
+    # a 512k-row Arrow batch is ~8 MB and amortizes the per-batch
+    # Arrow/pandas overhead (~measured +30-40% pages/s vs 64k rows). The
+    # session default stays 64k because TEXT-carrying UDF paths at 1 KB+
+    # per row would blow executor memory at 512k rows/batch.
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "524288")
     cov_df = normalized_coverings_df(spark, E._box_regions(), 10).cache()
     cov_df.count()
 

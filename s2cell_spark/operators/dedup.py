@@ -105,11 +105,15 @@ def shingled_docs(
     if max_df is None:
         return sets
     dw = sets.select("doc", F.explode("ws").alias("w"))
-    kept = dw.groupBy("w").agg(F.count("*").alias("df_w")).filter(
-        F.col("df_w") <= max_df
+    # anti-join against the HOT set, not an equi-join against the kept
+    # set: hot shingles (df > cap) are FEW at any corpus size by
+    # construction — a broadcastable anti-join — while the kept set is
+    # ~all shingles (billions at web scale, never broadcastable)
+    hot = dw.groupBy("w").agg(F.count("*").alias("df_w")).filter(
+        F.col("df_w") > max_df
     )
     return (
-        dw.join(kept.select("w"), on="w")
+        dw.join(hot.select("w"), on="w", how="left_anti")
         .groupBy("doc")
         .agg(F.array_sort(F.collect_list("w")).alias("ws"))
     )

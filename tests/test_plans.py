@@ -158,6 +158,37 @@ def test_scan_prunes_unused_columns(spark, entry):
     assert "text" not in scan and "lang" not in scan
 
 
+def test_bucketed_join_has_no_shuffle(spark):
+    """Both sides written bucketed on the join key -> the join plans with
+    ZERO Exchange (Spark trusts the on-disk bucket layout). This is the
+    co-location story for huge-x-huge joins at 10^12 rows, where the
+    per-query shuffle would otherwise BE the query cost."""
+    from pyspark.sql import functions as F
+
+    from s2cell_spark.plans.bucketing import bucketed_join, write_bucketed
+
+    fact = spark.range(10_000).select(
+        (F.col("id") % 500).alias("user_id"), (F.col("id") * 3).alias("v")
+    )
+    dim = spark.range(500).select(
+        F.col("id").alias("user_id"), F.concat(F.lit("u"), F.col("id")).alias("name")
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        write_bucketed(fact, "t_fact_b", "user_id", 4)
+        write_bucketed(dim, "t_dim_b", "user_id", 4)
+        joined = bucketed_join(spark, "t_fact_b", "t_dim_b", "user_id")
+        plan = _plan(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, "bucketed join still shuffles"
+        assert joined.count() == 10_000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS t_fact_b")
+        spark.sql("DROP TABLE IF EXISTS t_dim_b")
+
+
 def test_pages_loader_never_reads_html_by_default(spark):
     from s2cell_spark.sources.pages import load_pages
 
