@@ -297,13 +297,56 @@ def neighbor_cell_ids(cid: Column, edge: bool = True, corner: bool = False) -> C
 
 
 def register_sql_functions(spark) -> None:
-    """Register the UDF surface for ``spark.sql`` use."""
+    """Register the full surface for ``spark.sql`` use.
+
+    Two tiers:
+
+    * the float-math kernels (encode/decode/neighbors/face-IJ) register
+      as the Arrow pandas UDFs — they genuinely need numpy;
+    * every bit/token operation registers as a **SQL scalar function**
+      (``CREATE TEMPORARY FUNCTION ... RETURN <expr>``, Spark >= 4)
+      whose body is RENDERED FROM the native Catalyst exprs in
+      :mod:`s2cell_spark.functions.exprs` — one source of truth, and
+      pure-SQL users get whole-stage-codegen + predicate pushdown
+      instead of a per-row Python hop. Where both tiers could serve
+      (level/token/validity), the native SQL function wins.
+    """
+    from s2cell_spark.functions import exprs as X
+
     spark.udf.register("s2_lat_lon_to_cell_id", s2_lat_lon_to_cell_id)
     spark.udf.register("s2_cell_id_to_lat_lon", _s2_cell_id_to_lat_lon_raw)
-    spark.udf.register("s2_token_to_cell_id", s2_token_to_cell_id)
-    spark.udf.register("s2_cell_id_to_token", _s2_cell_id_to_token_raw)
-    spark.udf.register("s2_cell_id_to_level", _s2_cell_id_to_level_raw)
     spark.udf.register("s2_neighbor_cell_ids", _s2_neighbor_cell_ids_raw)
-    spark.udf.register("s2_cell_id_is_valid", _s2_cell_id_is_valid_raw)
     spark.udf.register("s2_cell_id_to_face_ij", _s2_cell_id_to_face_ij_raw)
     spark.udf.register("s2_face_ij_to_cell_id", s2_face_ij_to_cell_id)
+
+    # Render each Catalyst expr to SQL text by analyzing a zero-row
+    # projection (PySpark 4 Columns wrap ColumnNodes, so the expression
+    # tree — and its .sql() — is only reachable through an analyzed plan).
+    dummy = spark.createDataFrame([], "cid bigint, tok string, lvl int")
+
+    def _body(expr) -> str:
+        plan = dummy.select(expr.alias("_o"))._jdf.queryExecution().analyzed()
+        return plan.expressions().apply(0).child().sql()
+
+    cid, tok, lvl = F.col("cid"), F.col("tok"), F.col("lvl")
+    natives = [
+        ("s2_cell_id_is_valid", "(cid BIGINT)", "BOOLEAN", X.cell_id_is_valid(cid)),
+        ("s2_cell_id_to_level", "(cid BIGINT)", "INT", X.cell_id_to_level(cid)),
+        ("s2_cell_id_to_parent_cell_id", "(cid BIGINT, lvl INT)", "BIGINT",
+         X.cell_id_to_parent_cell_id(cid, lvl)),
+        ("s2_cell_id_range_min", "(cid BIGINT)", "BIGINT", X.cell_id_range_min(cid)),
+        ("s2_cell_id_range_max", "(cid BIGINT)", "BIGINT", X.cell_id_range_max(cid)),
+        ("s2_cell_id_sortable", "(cid BIGINT)", "BIGINT", X.cell_id_sortable(cid)),
+        ("s2_cell_id_to_token", "(cid BIGINT)", "STRING", X.cell_id_to_token(cid)),
+        ("s2_token_to_cell_id", "(tok STRING)", "BIGINT", X.token_to_cell_id(tok)),
+        ("s2_token_is_valid", "(tok STRING)", "BOOLEAN", X.token_is_valid(tok)),
+        ("s2_token_to_level", "(tok STRING)", "INT", X.token_to_level(tok)),
+        ("s2_token_to_parent_token", "(tok STRING, lvl INT)", "STRING",
+         X.token_to_parent_token(tok, lvl)),
+        ("s2_token_to_canonical_token", "(tok STRING)", "STRING",
+         X.token_to_canonical_token(tok)),
+    ]
+    for name, args, ret, expr in natives:
+        spark.sql(
+            f"CREATE OR REPLACE TEMPORARY FUNCTION {name}{args} RETURNS {ret} RETURN {_body(expr)}"
+        )

@@ -229,6 +229,64 @@ def test_range_min_invalid_is_null_not_error(spark):
     assert rows[1]["rmin"] is not None
 
 
+def test_native_sql_functions_match_exprs_and_stay_native(spark):
+    """The SQL-registered bit/token surface is generated FROM the
+    Catalyst exprs — outputs must match the Column API on a frame
+    covering all faces + invalid IDs + malformed tokens, and a pure-SQL
+    query over them must contain no Python eval node."""
+    from s2cell_spark import functions as S2F
+    from s2cell_spark.functions.udfs import register_sql_functions
+
+    register_sql_functions(spark)
+    cells = [
+        1152921504606846977, 3458764513820540928, -9223372036854775808 + 1,
+        -3458764513820540928, 0, 7, 42, 2305843009213693952, 1,
+    ]
+    toks = ["3", "e66ef376f790adf8", "ABC0", "x", "", "zzz", "89c25"]
+    df = spark.createDataFrame([(c,) for c in cells], "cid long")
+    df.createOrReplaceTempView("cells_v")
+    got = spark.sql(
+        """
+        SELECT s2_cell_id_is_valid(cid) AS v, s2_cell_id_to_level(cid) AS l,
+               s2_cell_id_to_parent_cell_id(cid, 2) AS p,
+               s2_cell_id_range_min(cid) AS rmin, s2_cell_id_range_max(cid) AS rmax,
+               s2_cell_id_sortable(cid) AS srt, s2_cell_id_to_token(cid) AS t
+        FROM cells_v
+        """
+    )
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan, "SQL bit/token functions fell back to Python"
+    want = df.select(
+        S2F.cell_id_is_valid(F.col("cid")).alias("v"),
+        S2F.cell_id_to_level(F.col("cid")).alias("l"),
+        S2F.cell_id_to_parent_cell_id(F.col("cid"), 2).alias("p"),
+        S2F.cell_id_range_min(F.col("cid")).alias("rmin"),
+        S2F.cell_id_range_max(F.col("cid")).alias("rmax"),
+        S2F.cell_id_sortable(F.col("cid")).alias("srt"),
+        S2F.cell_id_to_token(F.col("cid")).alias("t"),
+    )
+    assert [tuple(r) for r in got.collect()] == [tuple(r) for r in want.collect()]
+
+    tdf = spark.createDataFrame([(t,) for t in toks], "tok string")
+    tdf.createOrReplaceTempView("toks_v")
+    got_t = spark.sql(
+        """
+        SELECT s2_token_to_cell_id(tok) AS c, s2_token_is_valid(tok) AS v,
+               s2_token_to_level(tok) AS l, s2_token_to_parent_token(tok, 1) AS p,
+               s2_token_to_canonical_token(tok) AS canon
+        FROM toks_v
+        """
+    )
+    want_t = tdf.select(
+        S2F.token_to_cell_id(F.col("tok")).alias("c"),
+        S2F.token_is_valid(F.col("tok")).alias("v"),
+        S2F.token_to_level(F.col("tok")).alias("l"),
+        S2F.token_to_parent_token(F.col("tok"), 1).alias("p"),
+        S2F.token_to_canonical_token(F.col("tok")).alias("canon"),
+    )
+    assert [tuple(r) for r in got_t.collect()] == [tuple(r) for r in want_t.collect()]
+
+
 def test_canonical_token_strips_all_whitespace(spark):
     from s2cell_spark import functions as S2F
 
