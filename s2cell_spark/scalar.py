@@ -65,9 +65,9 @@ def cell_id_to_lat_lon(cell_id: int) -> Tuple[float, float]:
 
 
 def token_to_lat_lon(token: str) -> Tuple[float, float]:
-    """token -> (lat, lon) degrees of the cell center (ref:774-798)."""
-    if not isinstance(token, str):
-        raise TypeError('Cannot convert S2 token from type: {}'.format(type(token)))
+    """token -> (lat, lon) degrees of the cell center (ref:774-798).
+    Type errors surface from token_is_valid ('Cannot check S2 token...'),
+    matching the reference's call path — no pre-check here."""
     if not token_is_valid(token):
         raise InvalidToken('Cannot decode invalid S2 token: {}'.format(token))
     return cell_id_to_lat_lon(token_to_cell_id(token))
@@ -122,9 +122,7 @@ def cell_id_to_level(cell_id: int) -> int:
 
 
 def token_to_level(token: str) -> int:
-    """token -> level (ref:953-977)."""
-    if not isinstance(token, str):
-        raise TypeError('Cannot convert S2 token from type: {}'.format(type(token)))
+    """token -> level (ref:953-977); type errors via token_is_valid."""
     if not token_is_valid(token):
         raise InvalidToken('Cannot decode invalid S2 token: {}'.format(token))
     return cell_id_to_level(token_to_cell_id(token))
@@ -152,9 +150,7 @@ def cell_id_to_parent_cell_id(cell_id: int, level: Optional[int] = None) -> int:
 
 
 def token_to_parent_token(token: str, level: Optional[int] = None) -> str:
-    """token -> parent token (ref:1041-1069)."""
-    if not isinstance(token, str):
-        raise TypeError('Cannot convert S2 token from type: {}'.format(type(token)))
+    """token -> parent token (ref:1041-1069); type errors via token_is_valid."""
     if not token_is_valid(token):
         raise InvalidToken('Cannot decode invalid S2 token: {}'.format(token))
     return cell_id_to_token(cell_id_to_parent_cell_id(token_to_cell_id(token), level))
@@ -210,3 +206,27 @@ def s2_face_ij_to_cell_id(face: int, i: int, j: int, level: int = 30) -> int:
         level,
     )
     return int(out[0])
+
+
+# -- private-surface parity shims -------------------------------------------
+# The reference's own test suite imports two PRIVATE names
+# (`from s2cell.s2cell import _S2_POS_BITS, _s2_face_uv_to_xyz`,
+# reference tests/test_s2cell.py:23); tests/test_reference_suite.py runs
+# that suite verbatim against this module, so expose them with identical
+# behavior (ref:49 and ref:~117-160).
+
+_S2_POS_BITS = _POS_BITS
+
+
+def _s2_face_uv_to_xyz(face: int, uv: Tuple[float, float]) -> Tuple[float, float, float]:
+    """face + (u, v) -> unnormalised XYZ; ValueError on face outside 0-5
+    with the reference's message (ref docstring: 'Raises ValueError: If
+    the face is not valid in range 0-5')."""
+    if not isinstance(face, int) or face < 0 or face > 5:
+        raise ValueError('Cannot convert UV to XYZ with invalid face: {}'.format(face))
+    x, y, z = K.face_uv_to_xyz(
+        np.array([face], dtype=np.uint64),
+        np.array([uv[0]], dtype=np.float64),
+        np.array([uv[1]], dtype=np.float64),
+    )
+    return (float(x[0]), float(y[0]), float(z[0]))
