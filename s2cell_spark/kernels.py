@@ -357,7 +357,10 @@ def cell_id_to_level(cell_id: np.ndarray) -> np.ndarray:
     lsb = _lsb(cell_id)
     exp = (lsb.astype(np.float64).view(np.uint64) >> U64(52)).astype(np.int64) - 1023
     level = MAX_LEVEL - (exp >> 1)
-    return np.where(cell_id == 0, -1, level).astype(np.int32)
+    # -1 for EVERY invalid id (face > 5 / odd trailing bit / zero), not
+    # just zero — property-tested (tests/test_properties.py); the
+    # reference raises InvalidCellID there, which the scalar API mirrors
+    return np.where(cell_id_is_valid(cell_id), level, -1).astype(np.int32)
 
 
 def cell_id_to_parent_cell_id(cell_id: np.ndarray, level) -> np.ndarray:
