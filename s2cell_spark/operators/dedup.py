@@ -108,7 +108,15 @@ def shingled_docs(
     # anti-join against the HOT set, not an equi-join against the kept
     # set: hot shingles (df > cap) are FEW at any corpus size by
     # construction — a broadcastable anti-join — while the kept set is
-    # ~all shingles (billions at web scale, never broadcastable)
+    # ~all shingles (billions at web scale, never broadcastable).
+    # This plan scans+parses the corpus twice (the hot-set aggregate and
+    # the main pipeline don't share a reusable exchange) — DELIBERATE:
+    # the one-scan alternatives are worse at 10^12 docs. A window count
+    # over w has no partial aggregation, so the hottest shingle's 10^9
+    # rows land in ONE task — a straggler on exactly the keys being
+    # capped; persisting the exploded (doc, shingle) frame caches an
+    # intermediate LARGER than the corpus. A second parse is linear,
+    # embarrassingly parallel, and skew-free.
     hot = dw.groupBy("w").agg(F.count("*").alias("df_w")).filter(
         F.col("df_w") > max_df
     )
