@@ -189,6 +189,33 @@ def test_bucketed_join_has_no_shuffle(spark):
         spark.sql("DROP TABLE IF EXISTS t_dim_b")
 
 
+def test_range_partitioned_write_enables_cell_range_pruning(spark, tmp_path):
+    """The north-rule storage layout: pages range-partitioned + sorted on
+    cell_id_sortable. Evidence both halves of the pruning story: the
+    range predicate reaches the parquet scan (PushedFilters), and
+    Hilbert-clustered layout confines any cell range to a small fraction
+    of the files (so footer min/max stats can skip the rest)."""
+    from pyspark.sql import functions as F
+
+    from s2cell_spark.sources.pages import load_pages, with_cell_id, write_pages_partitioned
+
+    pages = with_cell_id(load_pages(spark, SF))
+    out = str(tmp_path / "ranged")
+    write_pages_partitioned(pages, out, num_partitions=8)
+    rd = spark.read.parquet(out)
+    vals = sorted(r["cell_id_sortable"] for r in rd.select("cell_id_sortable").collect())
+    lo, hi = vals[len(vals) // 10], vals[3 * len(vals) // 10]  # ~20% slice
+    q = rd.filter((F.col("cell_id_sortable") >= lo) & (F.col("cell_id_sortable") <= hi))
+    plan = _plan(q)
+    scan = plan[plan.index("PushedFilters") :].splitlines()[0]
+    assert "GreaterThanOrEqual(cell_id_sortable" in scan
+    # the display truncates the filter list — LessThan prefix suffices
+    assert "LessThan" in scan
+    n_files = q.select(F.input_file_name()).distinct().count()
+    assert n_files <= 4, f"20% cell range touched {n_files}/8 files — layout not clustered"
+    assert q.count() == sum(1 for v in vals if lo <= v <= hi)
+
+
 def test_pages_loader_never_reads_html_by_default(spark):
     from s2cell_spark.sources.pages import load_pages
 
