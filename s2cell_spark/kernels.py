@@ -104,12 +104,15 @@ def uv_to_st(c: np.ndarray) -> np.ndarray:
 
 
 def st_to_uv(c: np.ndarray) -> np.ndarray:
-    """Quadratic ST->UV projection (s2cell/s2cell.py:106-119)."""
-    return np.where(
-        c >= 0.5,
-        (1.0 / 3.0) * (4.0 * c**2 - 1.0),
-        (1.0 / 3.0) * (1.0 - 4.0 * (1.0 - c) ** 2),
-    )
+    """Quadratic ST->UV projection (s2cell/s2cell.py:106-119).
+
+    One squared branch serves both sides: with m = max(c, 1-c),
+    ``(1/3)*(1 - 4*(1-c)^2) == -((1/3)*(4*m^2 - 1))`` bit-exactly for
+    c < 0.5 (subtraction reversal and the final negation are exact) —
+    halves the square/multiply traffic (verified bit-identical)."""
+    m = np.where(c >= 0.5, c, 1.0 - c)
+    r = (1.0 / 3.0) * (4.0 * m**2 - 1.0)
+    return np.where(c >= 0.5, r, -r)
 
 
 def st_to_ij(c: np.ndarray) -> np.ndarray:
