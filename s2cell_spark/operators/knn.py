@@ -120,6 +120,14 @@ def knn(
     duration of the search (it backs the lazily-returned result too);
     callers running many kNN batches can ``spark.catalog.clearCache()``
     when done.
+
+    Scale boundary: `queries` is a driver-side list (ring cells are
+    computed per query on the driver) — sized for interactive use,
+    O(10^3) query points against 10^12 pages. A bulk kNN-JOIN (millions
+    of query points) wants the dual formulation instead: broadcast
+    nothing, bucket BOTH sides by level-L cell + neighbor replication,
+    and rank within buckets — a different operator with different
+    exactness tradeoffs, deliberately not bolted onto this one.
     """
     from s2cell_spark.operators.containment import containment_join_range
 
