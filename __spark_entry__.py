@@ -51,6 +51,12 @@ KNN_QUERIES = [
 ]
 KNN_K = 5
 TILE_ZOOM = 6
+# bulk kNN-join: 3x3 neighborhood at this level, k per query, query set =
+# first N pages whose level-KNNJ_LEVEL cell is face-interior (the oracle
+# re-derives the neighborhood by IJ offsets, valid off the face boundary)
+KNNJ_LEVEL = 4
+KNNJ_K = 3
+KNNJ_NQ = 24
 
 # region_id -> list of rings, each a list of (lat, lon) vertices; even-odd
 # across rings (ring 2 of region 1 is a HOLE). Vertices are small exact
@@ -224,6 +230,43 @@ def _q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pages = _pages_with_cells(spark, sf_dir)
     out = knn(pages, spark, KNN_QUERIES, k=KNN_K, level=4)
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def _q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bulk kNN-JOIN (operators.knn.knn_join): k nearest pages per query
+    row within the query's 3x3 level-4 cell neighborhood — query cells,
+    neighborhoods, and candidates all derived in-engine (no driver loop);
+    self-matches included (a query page is its own rank-1 neighbor).
+    Value-exact vs a DuckDB oracle that rebuilds each query's 9-cell
+    neighborhood by corner-IJ offsets re-encoded through the embedded
+    Hilbert rounds."""
+    from s2cell_spark import functions as S2F
+    from s2cell_spark.operators.knn import knn_join
+
+    pages = _pages_with_cells(spark, sf_dir)
+    size = 1 << (30 - KNNJ_LEVEL)
+    parent = S2F.cell_id_to_parent_cell_id(F.col("cell_id"), KNNJ_LEVEL)
+    qbase = (
+        pages.filter(F.col("doc_id") < KNNJ_NQ)
+        .withColumn("_fij", S2F.s2_cell_id_to_face_ij(parent))
+        .filter(
+            (F.col("_fij.i") >= size)
+            & (F.col("_fij.i") < (1 << 30) - size)
+            & (F.col("_fij.j") >= size)
+            & (F.col("_fij.j") < (1 << 30) - size)
+        )
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.col("lat").alias("q_lat"),
+            F.col("lon").alias("q_lon"),
+        )
+    )
+    out = knn_join(pages, qbase, KNNJ_K, level=KNNJ_LEVEL)
     return out.select(
         F.col("query_id").cast("long").alias("query_id"),
         F.col("doc_id").cast("long").alias("doc_id"),
@@ -801,6 +844,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_boxes_salted": _q_pip("salted"),
         "pip_polygons": _q_pip_polygons,
         "knn_pages": _q_knn,
+        "knn_join_bulk": _q_knn_join,
         "tile_heatmap_z6": _q_tile_heatmap,
         "cell_heatmap_l8": _q_cell_heatmap,
         "hierarchical_rollup": _q_hierarchical_rollup,
@@ -890,6 +934,44 @@ ranked AS (
 SELECT CAST(query_id AS BIGINT) AS query_id, CAST(doc_id AS BIGINT) AS doc_id,
        CAST(rnk AS BIGINT) AS rank
 FROM ranked WHERE rnk <= {KNN_K}
+"""
+
+
+def _knn_join_oracle() -> str:
+    """Bulk kNN-join re-derived: query level-4 corner IJ -> 9 offset
+    cells (self + 8 incl. corners) -> re-encode each through the Hilbert
+    rounds -> join pages' level-4 cells -> per-query haversine rank."""
+    from s2cell_spark.functions import hilbert_sql as H
+
+    size = 1 << (30 - KNNJ_LEVEL)
+    top = 1 << 30
+    tok = H.token_sql(H.truncate_sql(KNNJ_LEVEL))
+    dist = _sql_haversine("q.lat", "q.lon", "p.lat", "p.lon")
+    dirs = ", ".join(
+        f"({di * size}, {dj * size})" for di in (-1, 0, 1) for dj in (-1, 0, 1)
+    )
+    return f"""{_PAGES_CTE},
+{H.leaf_bits_cte(source="pages", max_level=KNNJ_LEVEL)},
+qcells AS (
+  SELECT doc_id AS qdoc, face, i & -{size} AS ci, j & -{size} AS cj
+  FROM s2ij
+  WHERE doc_id < {KNNJ_NQ}
+    AND i >= {size} AND i < {top - size} AND j >= {size} AND j < {top - size}
+),
+dirs(di, dj) AS (VALUES {dirs}),
+nbr_ij AS (SELECT qdoc, face, ci + di AS i, cj + dj AS j FROM qcells CROSS JOIN dirs),
+{H.encode_rounds_ctes("nbr_ij", KNNJ_LEVEL, prefix="nb", out="nbenc", carry_cols=("qdoc",))},
+hood AS (SELECT DISTINCT qdoc, {tok} AS cell_tok FROM nbenc),
+ptok AS (SELECT doc_id AS pdoc, {tok} AS cell_tok FROM s2enc),
+cand AS (SELECT h.qdoc, p.pdoc FROM hood h JOIN ptok p USING (cell_tok)),
+ranked AS (
+  SELECT c.qdoc, c.pdoc,
+         row_number() OVER (PARTITION BY c.qdoc ORDER BY {dist}, c.pdoc) AS rnk
+  FROM cand c JOIN pages q ON q.doc_id = c.qdoc JOIN pages p ON p.doc_id = c.pdoc
+)
+SELECT CAST(qdoc AS BIGINT) AS query_id, CAST(pdoc AS BIGINT) AS doc_id,
+       CAST(rnk AS BIGINT) AS rank
+FROM ranked WHERE rnk <= {KNNJ_K}
 """
 
 
@@ -1485,6 +1567,7 @@ def oracle_sql() -> dict[str, str]:
         "pip_boxes_salted": pip,
         "pip_polygons": _pip_polygons_oracle(),
         "knn_pages": _knn_oracle(),
+        "knn_join_bulk": _knn_join_oracle(),
         "tile_heatmap_z6": _tile_oracle(),
         "cell_heatmap_l8": _cell_heatmap_oracle(),
         "hierarchical_rollup": _hier_rollup_oracle(),

@@ -44,6 +44,7 @@ HEADLINE = [
     "pip_boxes_salted",
     "pip_polygons",
     "knn_pages",
+    "knn_join_bulk",
     "tile_heatmap_z6",
     "top_tiles",
     "tile_topk_pages",

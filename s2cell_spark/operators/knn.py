@@ -101,6 +101,63 @@ def _bbox_covering_level(lat_span: float, lon_span: float, max_level: int = 12) 
     return max(0, min(max_level, int(math.log2(max(90.0 / span, 1.0))) + 3))
 
 
+def knn_join(
+    pages: DataFrame,
+    queries_df: DataFrame,
+    k: int,
+    level: int = 4,
+    cell_col: str = "cell_id",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Bulk kNN-JOIN: the k nearest pages per QUERY ROW, among pages in
+    the query's 3x3 level-`level` cell neighborhood.
+
+    The dual of :func:`knn` for millions of query points: no driver
+    loop, no broadcast of the query set — the query side derives its
+    cell and the 9-cell neighborhood IN the engine (encode UDF +
+    neighbor kernel, one ``explode`` x9), pages key by their level-L
+    parent, and one equi-join + per-query window top-k (which Spark
+    plans with WindowGroupLimit partial pushdown) does the rest. Both
+    sides scale out; hot cells on the join key are the one skew hazard —
+    pair with AQE skew-join or ``skewjoin.salted_equi_join`` at scale.
+
+    SEMANTICS (deterministic, documented): exact top-k within the
+    neighborhood relation, ordered by (haversine, id). A query whose
+    true k-th neighbor lies OUTSIDE its 3x3 neighborhood returns the
+    neighborhood's top-k — standard grid kNN-join behavior; pick `level`
+    so the cell edge comfortably exceeds the expected k-NN radius, or
+    use :func:`knn` when per-query exactness verification is required.
+
+    `queries_df` needs (query_id, q_lat, q_lon). Returns
+    (query_id, id_col, dist_deg, rank), rank 1..<=k.
+    """
+    qcell = S2F.cell_id_to_parent_cell_id(
+        S2F.lat_lon_to_cell_id(F.col("q_lat"), F.col("q_lon"), 30), level
+    )
+    q = queries_df.withColumn("_qcell", qcell)
+    hood = q.select(
+        "query_id", "q_lat", "q_lon",
+        F.explode(
+            F.array_union(
+                F.array(F.col("_qcell")),
+                S2F.neighbor_cell_ids(F.col("_qcell"), edge=True, corner=True),
+            )
+        ).alias("_nb"),
+    )
+    key = S2F.cell_id_to_parent_cell_id(F.col(cell_col), level)
+    cand = pages.withColumn("_pcell", key).join(
+        hood, on=F.col("_pcell") == F.col("_nb"), how="inner"
+    )
+    dist = haversine_deg(F.col("q_lat"), F.col("q_lon"), F.col("lat"), F.col("lon"))
+    w = Window.partitionBy("query_id").orderBy(F.col("dist_deg"), F.col(id_col))
+    return (
+        cand.withColumn("dist_deg", dist)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "dist_deg", "rank")
+    )
+
+
 def knn(
     pages: DataFrame,
     spark: SparkSession,

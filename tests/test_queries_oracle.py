@@ -28,6 +28,7 @@ MIN_ROWS = {
     "pip_boxes_salted": 50,
     "pip_polygons": 20,
     "knn_pages": 30,
+    "knn_join_bulk": 20,
     "neighbors_interior": 800,
     "cell_heatmap_l8": 200,
     "hierarchical_rollup": 500,
