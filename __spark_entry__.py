@@ -108,6 +108,13 @@ def _sql_haversine(qlat: str, qlon: str, lat: str = "lat", lon: str = "lon") -> 
     )
 
 
+def _rank_fp(dist_sql: str) -> str:
+    """DuckDB twin of operators.knn.dist_rank_key: 1e-7-deg fixed-point
+    rank key so near-tied distances order identically despite asin ulp
+    differences between the JVM and DuckDB libm."""
+    return f"CAST(floor(({dist_sql}) * 1e7 + 0.5) AS BIGINT)"
+
+
 def _load_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
@@ -928,7 +935,7 @@ def _knn_oracle() -> str:
 q(query_id, q_lat, q_lon) AS (VALUES {rows}),
 ranked AS (
   SELECT q.query_id, p.doc_id,
-         row_number() OVER (PARTITION BY q.query_id ORDER BY {dist}, p.doc_id) AS rnk
+         row_number() OVER (PARTITION BY q.query_id ORDER BY {_rank_fp(dist)}, p.doc_id) AS rnk
   FROM q CROSS JOIN pages p
 )
 SELECT CAST(query_id AS BIGINT) AS query_id, CAST(doc_id AS BIGINT) AS doc_id,
@@ -966,7 +973,7 @@ ptok AS (SELECT doc_id AS pdoc, {tok} AS cell_tok FROM s2enc),
 cand AS (SELECT h.qdoc, p.pdoc FROM hood h JOIN ptok p USING (cell_tok)),
 ranked AS (
   SELECT c.qdoc, c.pdoc,
-         row_number() OVER (PARTITION BY c.qdoc ORDER BY {dist}, c.pdoc) AS rnk
+         row_number() OVER (PARTITION BY c.qdoc ORDER BY {_rank_fp(dist)}, c.pdoc) AS rnk
   FROM cand c JOIN pages q ON q.doc_id = c.qdoc JOIN pages p ON p.doc_id = c.pdoc
 )
 SELECT CAST(qdoc AS BIGINT) AS query_id, CAST(pdoc AS BIGINT) AS doc_id,

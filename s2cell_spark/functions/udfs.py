@@ -350,3 +350,39 @@ def register_sql_functions(spark) -> None:
         spark.sql(
             f"CREATE OR REPLACE TEMPORARY FUNCTION {name}{args} RETURNS {ret} RETURN {_body(expr)}"
         )
+
+    # Registration-time self-check (ADVICE r2): the SQL bodies round-trip
+    # Catalyst-expression text through the session's string-literal parser,
+    # and the token functions embed backslash-heavy regex literals — a
+    # Spark upgrade (or spark.sql.parser.escapedStringLiterals flip) that
+    # changes literal escaping would otherwise corrupt them SILENTLY.
+    # One tiny job: evaluate every SQL function against its Column-API twin
+    # on probe rows that exercise the regex paths, and fail loudly.
+    probe = spark.createDataFrame(
+        [
+            (3383782026652942336, "2ef59bd352b93848", 4),   # valid leaf id/token
+            (-4611686018427387904, " 5\t", 2),              # face-4 (negative); ws-wrapped token
+            (0, "X", 1),                                    # invalid id; uppercase/none token
+            (1234567, "not a token {1,16}", 3),             # junk bits; regex-metachar token
+            (None, None, None),                             # null totality
+        ],
+        "cid bigint, tok string, lvl int",
+    )
+    checks = []
+    for name, args, _ret, expr in natives:
+        argnames = [a.strip().split()[0] for a in args.strip("()").split(",")]
+        sql_call = F.expr(f"{name}({', '.join(argnames)})")
+        checks.append(sql_call.eqNullSafe(expr).alias(name))
+    bad = [
+        c
+        for row in probe.select(*checks).collect()
+        for c, ok in row.asDict().items()
+        if not ok
+    ]
+    if bad:
+        raise RuntimeError(
+            "s2cell_spark SQL scalar function self-check failed for "
+            f"{sorted(set(bad))}: the CREATE FUNCTION body no longer matches "
+            "its Column-API source — most likely this Spark version escapes "
+            "string literals differently when rendering expressions to SQL"
+        )

@@ -57,6 +57,20 @@ def haversine_deg(lat1, lon1, lat2, lon2):
     return F.degrees(F.lit(2.0) * F.asin(F.sqrt(a)))
 
 
+def dist_rank_key(dist_col):
+    """1e-7-deg fixed-point quantization of a ranking distance (~1 cm).
+
+    Ranking directly on the double distance is ulp-fragile: Spark's JVM
+    libm and the oracle's (DuckDB) libm disagree on ``asin`` in the final
+    ulps, and a near-tie can flip ``row_number`` between engines. The same
+    grid the repo's decode oracle uses (1e-7 deg) collapses those ulp
+    differences; ties inside a bucket break on the id column, identically
+    on both sides. ``floor(d*1e7 + 0.5)`` rather than round(): *, + and
+    floor are bit-identical across both engines, half-even rounding is
+    not. Oracle mirror: ``CAST(floor(d * 1e7 + 0.5) AS BIGINT)``."""
+    return F.floor(dist_col * F.lit(1.0e7) + F.lit(0.5)).cast("long")
+
+
 def _ring_cells(queries: list[tuple[int, float, float]], level: int, n_rings: int):
     """(query_id, ring_cell_id) pairs for rings 0..n_rings, driver-side."""
     qids = np.array([q[0] for q in queries], dtype=np.int64)
@@ -149,7 +163,7 @@ def knn_join(
         hood, on=F.col("_pcell") == F.col("_nb"), how="inner"
     )
     dist = haversine_deg(F.col("q_lat"), F.col("q_lon"), F.col("lat"), F.col("lon"))
-    w = Window.partitionBy("query_id").orderBy(F.col("dist_deg"), F.col(id_col))
+    w = Window.partitionBy("query_id").orderBy(dist_rank_key(F.col("dist_deg")), F.col(id_col))
     return (
         cand.withColumn("dist_deg", dist)
         .withColumn("rank", F.row_number().over(w))
@@ -228,7 +242,7 @@ def knn(
     # ---- phase 2: verified-radius re-query --------------------------------
     dist = haversine_deg(F.col("q_lat"), F.col("q_lon"), F.col("lat"), F.col("lon"))
     cand = cand.join(F.broadcast(q_df), on="query_id").withColumn("dist_deg", dist)
-    w = Window.partitionBy("query_id").orderBy(F.col("dist_deg"), F.col(id_col))
+    w = Window.partitionBy("query_id").orderBy(dist_rank_key(F.col("dist_deg")), F.col(id_col))
     dk = (
         cand.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") == k)
@@ -245,7 +259,9 @@ def knn(
             # fewer than k pages exist globally; keep everything
             verify_rows.append((qid, -90.0, 90.0, -180.0, 180.0))
             continue
-        r_pad = r * 1.0000001 + 1e-9
+        # pad must exceed one 1e-7-deg rank-quantization bucket: a row that
+        # ties d_k's bucket (true dist up to d_k + 1e-7) can still rank <= k
+        r_pad = r * 1.0000001 + 2e-7
         lat_lo, lat_hi = qlat - r_pad, qlat + r_pad
         max_abs = min(89.9999, max(abs(lat_lo), abs(lat_hi)))
         if lat_lo <= -89.0 or lat_hi >= 89.0:

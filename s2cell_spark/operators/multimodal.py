@@ -134,17 +134,25 @@ def extract_features(media_df: DataFrame, dim: int = 16) -> DataFrame:
             if pdf.empty:
                 continue
             payloads = [bytes(p) for p in pdf["media"]]
-            if use_real:  # pragma: no cover - decode libs absent here
-                feats = np.stack(
-                    [
-                        decode_media(p, m["media_type"] if m is not None else "unknown")
-                        for p, m in zip(payloads, pdf["meta"])
-                    ]
-                )
-                mode = "real"
-            else:
+            feats = None
+            mode = "stub"
+            if use_real:
+                # the probe checks library availability, not that
+                # decode_media is actually wired (it ships as a stub) —
+                # so a probe-true environment must still fall back per
+                # batch instead of crashing the stage (ADVICE r2)
+                try:
+                    feats = np.stack(
+                        [
+                            decode_media(p, m["media_type"] if m is not None else "unknown")
+                            for p, m in zip(payloads, pdf["meta"])
+                        ]
+                    )
+                    mode = "real"
+                except NotImplementedError:
+                    feats = None
+            if feats is None:
                 feats = deterministic_features_batch(payloads, dim)
-                mode = "stub"
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].astype("int64"),
