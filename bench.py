@@ -59,7 +59,7 @@ HEADLINE = [
     "sql_api",
     "dedup_exact",
     "jaccard_pairs",
-    "jaccard_pairs_capped",
+    "jaccard_pairs_uncapped",
     "minhash_near_dups",
     "simhash",
     "doc_fingerprint",
@@ -68,6 +68,7 @@ HEADLINE = [
     "lang_id",
     "ann_topk",
     "ivf_topk",
+    "ivf_topk_bucketed",
     "cosine_near_dups",
     "multimodal_features",
 ]

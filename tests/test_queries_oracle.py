@@ -39,11 +39,12 @@ MIN_ROWS = {
     "events_by_cell": 250,
     "top_tiles": 20,
     "jaccard_pairs": 10,
-    "jaccard_pairs_capped": 10,
+    "jaccard_pairs_uncapped": 10,
     "minhash_near_dups": 10,
     "simhash": 400,
     "ann_topk": 35,
     "ivf_topk": 35,
+    "ivf_topk_bucketed": 35,
     "cosine_near_dups": 40,
     "sql_api": 400,
     "token_count": 400,
