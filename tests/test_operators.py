@@ -605,3 +605,264 @@ def test_streaming_watermark_drops_late_data(spark, tmp_path):
     # the 00:00 window closed with 2 on-time pages and the late row neither
     # re-opened it nor produced a second emission
     assert counts.get(datetime(2024, 1, 1, 0, 0)) == 2
+
+
+def test_ring_cells_batched_matches_per_query_reference():
+    """The r3 batched _ring_cells (one grid-kernel call per ring round,
+    structured-array set algebra) must emit the exact (query, cell) pair
+    set of the r2 per-query loop it replaced — including across faces and
+    at cube corners, where neighbor validity/wrapping matters."""
+    from s2cell_spark.operators import knn as KN
+
+    rng = np.random.default_rng(5)
+    queries = [
+        (i, float(la), float(lo))
+        for i, (la, lo) in enumerate(
+            zip(rng.uniform(-85, 85, 40), rng.uniform(-179, 179, 40))
+        )
+    ]
+    # cube-corner / face-edge hot spots (lat 45/-45, lon multiples of 90)
+    queries += [
+        (100, 45.0, 45.0), (101, -45.0, -135.0), (102, 0.0, 0.0),
+        (103, 89.9, 0.0), (104, -89.9, 17.0), (105, 45.0, -45.0),
+    ]
+
+    def reference(level: int, n_rings: int) -> set[tuple[int, int]]:
+        rows: set[tuple[int, int]] = set()
+        for qid, la, lo in queries:
+            c = int(K.lat_lon_to_cell_id(np.array([la]), np.array([lo]), level)[0])
+            seen, frontier = {c}, {c}
+            for _ in range(n_rings):
+                cells = np.array(sorted(frontier), dtype=np.uint64)
+                grid, valid, _ = K.cell_id_to_neighbor_cell_ids_grid(cells)
+                nxt = set(int(x) for x in grid[valid]) - seen
+                seen |= nxt
+                frontier = nxt
+            rows |= {(qid, s) for s in seen}
+        return rows
+
+    for level, n_rings in [(2, 3), (4, 2), (8, 3)]:
+        got_arr = KN._ring_cells(queries, level, n_rings)
+        got = {(int(r["q"]), int(r["c"])) for r in got_arr}
+        assert got == reference(level, n_rings), (level, n_rings)
+        # sorted + duplicate-free (the frame built from it must be deterministic)
+        assert len(got_arr) == len(got)
+        assert (np.sort(got_arr) == got_arr).all()
+
+
+def test_neighborhood_safe_radius_empirical():
+    """The 3x3-neighborhood guarantee behind knn_join's `truncated` flag,
+    checked against geometry rather than trusted: for random point pairs
+    (including cube-corner hot spots) with haversine distance <= the
+    claimed safe radius, the second point's cell MUST lie in the first
+    point's 3x3 neighborhood at that level."""
+    from s2cell_spark.operators.knn import neighborhood_safe_radius_deg
+
+    rng = np.random.default_rng(13)
+    for level in (2, 4, 6, 8):
+        r_deg = neighborhood_safe_radius_deg(level)
+        n = 20000
+        lat = rng.uniform(-88, 88, n)
+        lon = rng.uniform(-180, 180, n)
+        # sprinkle exact cube-corner neighborhoods (worst-case cell shapes)
+        corners_lat = np.array([45.0, 45.0, -45.0, -45.0, 35.26, -35.26] * 50)
+        corners_lon = np.array([45.0, -135.0, 45.0, 135.0, 45.0, -45.0] * 50)
+        lat = np.concatenate([lat, corners_lat + rng.uniform(-r_deg, r_deg, len(corners_lat))])
+        lon = np.concatenate([lon, corners_lon + rng.uniform(-r_deg, r_deg, len(corners_lon))])
+        # random offsets at up to exactly the safe radius (great-circle)
+        theta = rng.uniform(0, 2 * np.pi, len(lat))
+        frac = np.sqrt(rng.uniform(0, 1, len(lat)))
+        dlat = frac * r_deg * np.sin(theta)
+        dlon = frac * r_deg * np.cos(theta) / np.maximum(
+            np.cos(np.radians(lat)), 1e-9
+        )
+        lat2 = lat + dlat
+        lon2 = ((lon + dlon + 180.0) % 360.0) - 180.0
+        ok_dom = (lat2 >= -90) & (lat2 <= 90)
+        lat, lon, lat2, lon2 = lat[ok_dom], lon[ok_dom], lat2[ok_dom], lon2[ok_dom]
+        # keep only pairs whose true haversine distance is within the bound
+        sp = np.sin(np.radians(lat2 - lat) / 2)
+        sl = np.sin(np.radians(lon2 - lon) / 2)
+        d = np.degrees(
+            2 * np.arcsin(np.sqrt(sp * sp + np.cos(np.radians(lat)) * np.cos(np.radians(lat2)) * sl * sl))
+        )
+        m = d <= r_deg
+        lat, lon, lat2, lon2 = lat[m], lon[m], lat2[m], lon2[m]
+        c1 = K.lat_lon_to_cell_id(lat, lon, level)
+        c2 = K.lat_lon_to_cell_id(lat2, lon2, level)
+        grid, valid, _ = K.cell_id_to_neighbor_cell_ids_grid(c1)
+        in_hood = c2 == c1
+        for col in range(8):
+            in_hood |= valid[:, col] & (grid[:, col] == c2)
+        assert in_hood.all(), (
+            level,
+            int((~in_hood).sum()),
+            lat[~in_hood][:3],
+            lon[~in_hood][:3],
+        )
+
+
+def test_level_for_radius_picks_deepest_safe_level():
+    from s2cell_spark.operators.knn import (
+        level_for_radius,
+        neighborhood_safe_radius_deg,
+    )
+
+    for r in (90.0, 10.0, 1.0, 0.1, 0.003, 1e-6, 1e-12):
+        lvl = level_for_radius(r)
+        if neighborhood_safe_radius_deg(0) >= r:
+            assert neighborhood_safe_radius_deg(lvl) >= r
+        else:
+            # radius beyond any level's guarantee: clamp to 0 (use knn)
+            assert lvl == 0
+        if lvl < 30:
+            assert neighborhood_safe_radius_deg(lvl + 1) < r
+
+
+def test_knn_join_truncated_flag(spark):
+    """truncated=false must CERTIFY global-exact top-k (checked against
+    the exact verified-radius knn operator); rank-k beyond the safe
+    radius or an under-filled neighborhood must flag true."""
+    from s2cell_spark.operators.knn import (
+        knn,
+        knn_join,
+        neighborhood_safe_radius_deg,
+    )
+
+    level = 6
+    r_safe = neighborhood_safe_radius_deg(level)
+    rows = []
+    # query 1: three points well inside the safe radius -> exact, untruncated
+    rows += [(10, 40.0001, 7.0001), (11, 40.0002, 7.0002), (12, 40.0003, 7.0004)]
+    # query 2: third-nearest candidate sits inside the 3x3 hood but beyond
+    # the safe radius -> its rank-3 distance exceeds the bound -> truncated
+    rows += [(20, 10.0, 50.0 + 0.01), (21, 10.0, 50.0 + 0.02),
+             (22, 10.0, 50.0 + 1.45 * r_safe)]
+    # query 3: only two candidates exist in the whole hood (k=3) -> truncated
+    rows += [(30, -30.0, -120.0 + 0.001), (31, -30.0, -120.0 + 0.002)]
+    pages = with_cell_id(
+        spark.createDataFrame(rows, "doc_id long, lat double, lon double")
+        .withColumn("url", F.concat(F.lit("u"), F.col("doc_id")))
+    )
+    qdf = spark.createDataFrame(
+        [(1, 40.0001, 7.0001), (2, 10.0, 50.0), (3, -30.0, -120.0)],
+        "query_id long, q_lat double, q_lon double",
+    )
+    out = knn_join(pages, qdf, k=3, level=level).collect()
+    flags = {}
+    for r in out:
+        flags.setdefault(r["query_id"], set()).add(r["truncated"])
+    assert flags[1] == {False}
+    assert flags[2] == {True}
+    assert flags[3] == {True}
+    # certification: the untruncated query's rows equal exact kNN
+    exact = {
+        (r["query_id"], r["doc_id"], r["rank"])
+        for r in knn(pages, spark, [(1, 40.0001, 7.0001)], k=3, level=level).collect()
+    }
+    got = {(r["query_id"], r["doc_id"], r["rank"]) for r in out if r["query_id"] == 1}
+    assert got == exact
+
+
+def test_knn_verify_covering_budget_across_radii():
+    """kNN phase-2 coverings must stay broadcast-small for EVERY verified
+    radius (VERDICT r2 #8): _bbox_covering_level matches granularity to
+    the bbox span, so sweep radii from ~1 cm to the whole globe — at
+    assorted latitudes including near-pole boxes that wrap all longitudes
+    — and assert a hard per-query covering-cell budget."""
+    from s2cell_spark.operators.knn import _bbox_covering_level
+
+    budget = 600  # cells per query; broadcast cost ~ 16 B/cell
+    for qlat in (0.0, 40.0, -67.0, 88.0, -89.5):
+        for r in (1e-7, 1e-5, 1e-3, 0.05, 0.8, 5.0, 30.0, 90.0, 180.0):
+            lat_lo = max(-90.0, qlat - r)
+            lat_hi = min(90.0, qlat + r)
+            if lat_lo <= -89.0 or lat_hi >= 89.0 or r >= 90.0:
+                lon_lo, lon_hi = -180.0, 180.0
+            else:
+                import math as m
+
+                dl = min(180.0, r / m.cos(m.radians(min(89.0, max(abs(lat_lo), abs(lat_hi))))))
+                lon_lo, lon_hi = -dl, dl
+            lvl = _bbox_covering_level(lat_hi - lat_lo, lon_hi - lon_lo)
+            cov = COV.latlng_rect_covering(
+                lat_lo, lat_hi, lon_lo, lon_hi, max_level=lvl
+            )
+            assert 0 < cov.shape[0] <= budget, (
+                f"qlat={qlat} r={r}: {cov.shape[0]} cells at level {lvl}"
+            )
+
+
+def test_iceberg_true_branch_drives_writeTo_plan(spark, tmp_path, monkeypatch):
+    """VERDICT r2 #6: the container has no Iceberg jar, so the probe's
+    True branch never executes here. Drive it anyway through PLAN
+    construction: force the capability probe true, intercept
+    DataFrame.writeTo / spark.read.table with recorders, and assert the
+    pipeline routes a stage through createOrReplace on the catalog table
+    (namespace DDL included) while still writing the JSON lineage
+    manifest. No Iceberg execution happens — only the code path."""
+    import json
+
+    from s2cell_spark.plans import checkpoint as CK
+
+    monkeypatch.setattr(CK, "iceberg_available", lambda s, c: True)
+    calls = {"writeTo": [], "using": [], "created": 0, "read_table": [], "sql": []}
+    built = spark.range(7).withColumnRenamed("id", "doc_id")
+
+    class W2:
+        def __init__(self, table):
+            self.table = table
+
+        def using(self, fmt):
+            calls["using"].append(fmt)
+            return self
+
+        def createOrReplace(self):
+            calls["created"] += 1
+
+    def fake_write_to(df, table):
+        calls["writeTo"].append(table)
+        return W2(table)
+
+    # patch the CONCRETE DataFrame type (pyspark.sql.DataFrame is an
+    # abstract base in Spark 4; the classic subclass overrides writeTo)
+    monkeypatch.setattr(type(built), "writeTo", fake_write_to, raising=True)
+
+    class ReaderProxy:
+        def table(self, name):
+            calls["read_table"].append(name)
+            return built
+
+        def __getattr__(self, n):
+            return getattr(spark.read, n)
+
+    class SparkProxy:
+        def sql(self, q, *a, **k):
+            calls["sql"].append(q)
+            if q.startswith("CREATE NAMESPACE"):
+                return None
+            return spark.sql(q, *a, **k)
+
+        @property
+        def read(self):
+            return ReaderProxy()
+
+        def __getattr__(self, n):
+            return getattr(spark, n)
+
+    pipe = CK.CheckpointedPipeline(
+        SparkProxy(), str(tmp_path), catalog="icecat", namespace="ns1"
+    )
+    assert pipe.use_iceberg
+    assert any(s.startswith("CREATE NAMESPACE IF NOT EXISTS icecat.ns1") for s in calls["sql"])
+    out = pipe.stage("stage1", lambda: built)
+    assert calls["writeTo"] == ["icecat.ns1.stage1"]
+    assert calls["using"] == ["iceberg"]
+    assert calls["created"] == 1
+    assert calls["read_table"] == ["icecat.ns1.stage1"]
+    assert out.count() == 7
+    manifest = json.loads((tmp_path / "stage1" / "_LINEAGE.json").read_text())
+    assert manifest["row_count"] == 7 and manifest["stage"] == "stage1"
+    # resume: is_complete reads the catalog table, not parquet
+    assert pipe.is_complete("stage1", manifest["plan_fingerprint"])
+    assert calls["read_table"][-1] == "icecat.ns1.stage1"
