@@ -22,6 +22,8 @@ never a cross join.
 
 from __future__ import annotations
 
+from pathlib import Path
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
@@ -215,22 +217,9 @@ def ivf_probes(
     return out
 
 
-def ivf_topk(
-    embeddings: DataFrame,
-    queries: list[tuple[int, list[float]]],
-    k: int,
-    n_cells: int = 16,
-    nprobe: int = 4,
-    seed: int = 31,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """IVF ANN: assign vectors to their nearest of `n_cells` seeded random
-    unit centroids (one pass), then search only each query's `nprobe`
-    closest cells. Approximate by design; recall grows with nprobe."""
-    first = embeddings.select(vec_col).first()
-    dim = len(first[0])
-    cents = ivf_centroids(dim, n_cells, seed)
+def ivf_assign_udf(cents: np.ndarray):
+    """Nearest-centroid assignment pandas UDF (shared by the one-shot
+    query path and the bucketed index writer)."""
 
     @F.pandas_udf(LongType())
     def assign(vec: pd.Series) -> pd.Series:
@@ -239,14 +228,34 @@ def ivf_topk(
         # sequential accumulation order matches the oracle's SQL fold
         return pd.Series(np.argmax(_seq_dot(cents, mat), axis=0).astype(np.int64))
 
-    assigned = embeddings.withColumn("ivf_cell", assign(F.col(vec_col)))
+    return assign
+
+
+def _score_probed(
+    assigned: DataFrame,
+    queries: list[tuple[int, list[float]]],
+    cents: np.ndarray,
+    k: int,
+    nprobe: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Probe-list join + exact cosine re-rank over an `assigned` frame
+    carrying ``ivf_cell`` — shared tail of :func:`ivf_topk` and
+    :func:`ivf_topk_from_index`."""
+    spark = assigned.sparkSession
     probe_rows = ivf_probes(queries, cents, nprobe)
+    # literal IN-filter on the union of probed cells FIRST: on a bucketed
+    # index this is what turns into bucket pruning at the file source
+    # (SelectedBucketsCount), so unprobed buckets are never even read
+    probed_cells = sorted({c for _, c in probe_rows})
+    cand = assigned.filter(F.col("ivf_cell").isin(probed_cells))
     probe_df = F.broadcast(
-        assigned.sparkSession.createDataFrame(probe_rows, "query_id long, ivf_cell long")
+        spark.createDataFrame(probe_rows, "query_id long, ivf_cell long")
     )
-    cand = assigned.join(probe_df, on="ivf_cell")
+    cand = cand.join(probe_df, on="ivf_cell")
     q_vec_df = F.broadcast(
-        assigned.sparkSession.createDataFrame(
+        spark.createDataFrame(
             [(int(qid), [float(x) for x in vec]) for qid, vec in queries],
             "query_id long, q_vec array<double>",
         )
@@ -265,3 +274,91 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", F.col(id_col).alias("vec_id"), "rank")
     )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: list[tuple[int, list[float]]],
+    k: int,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    seed: int = 31,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN: assign vectors to their nearest of `n_cells` seeded random
+    unit centroids (one pass), then search only each query's `nprobe`
+    closest cells. Approximate by design; recall grows with nprobe.
+
+    This one-shot form re-runs the assignment UDF per query batch; for
+    repeated probing of the same corpus, build a bucketed index once with
+    :func:`ivf_index_write` and query it with :func:`ivf_topk_from_index`.
+    """
+    first = embeddings.select(vec_col).first()
+    dim = len(first[0])
+    cents = ivf_centroids(dim, n_cells, seed)
+    assigned = embeddings.withColumn("ivf_cell", ivf_assign_udf(cents)(F.col(vec_col)))
+    return _score_probed(assigned, queries, cents, k, nprobe, id_col, vec_col)
+
+
+def ivf_index_write(
+    embeddings: DataFrame,
+    table: str,
+    n_cells: int = 16,
+    seed: int = 31,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """Materialize the IVF index ONCE: centroid-assign every vector and
+    write a managed table BUCKETED by ``ivf_cell`` (one bucket per list,
+    sorted within). Every subsequent :func:`ivf_topk_from_index` probe
+    then (a) skips the assignment UDF entirely and (b) reads only the
+    probed buckets — the literal IN-filter on the bucket column becomes
+    file-source bucket pruning (``SelectedBucketsCount: nprobe-ish out of
+    n_cells``, plan-pinned in tests/test_plans.py). At 100 TB this is the
+    difference between scanning the full embeddings table per query batch
+    and touching nprobe/n_cells of it with zero Python. Returns the
+    vector dimension (needed to rebuild the centroids at query time)."""
+    spark = embeddings.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    # a managed-table dir orphaned by a previous session (registered in
+    # that session's in-memory catalog only) blocks re-creation; clear it
+    import shutil
+    from urllib.parse import urlparse
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")).path
+    orphan = Path(wh) / table.split(".")[-1].lower()
+    if orphan.exists():
+        shutil.rmtree(orphan, ignore_errors=True)
+    first = embeddings.select(vec_col).first()
+    dim = len(first[0])
+    cents = ivf_centroids(dim, n_cells, seed)
+    assigned = embeddings.withColumn("ivf_cell", ivf_assign_udf(cents)(F.col(vec_col)))
+    (
+        assigned.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(n_cells, "ivf_cell")
+        .sortBy("ivf_cell", id_col)
+        .saveAsTable(table)
+    )
+    return dim
+
+
+def ivf_topk_from_index(
+    spark,
+    table: str,
+    dim: int,
+    queries: list[tuple[int, list[float]]],
+    k: int,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    seed: int = 31,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN over a bucketed index built by :func:`ivf_index_write`.
+    Identical results to :func:`ivf_topk` with the same parameters (same
+    centroids, same assignment, same exact re-rank) — but the scan is
+    bucket-pruned to the probed lists and runs no assignment UDF."""
+    cents = ivf_centroids(dim, n_cells, seed)
+    return _score_probed(spark.table(table), queries, cents, k, nprobe, id_col, vec_col)

@@ -222,3 +222,46 @@ def test_pages_loader_never_reads_html_by_default(spark):
     plan = _plan(load_pages(spark, SF).select("url", "lat", "lon"))
     scan = plan[plan.index("ReadSchema") :].splitlines()[0]
     assert "html" not in scan and "text" not in scan
+
+
+def test_ivf_bucketed_index_prunes_buckets_and_runs_no_assignment_udf(spark):
+    """The bucketed ANN path (VERDICT r2 #7): probing an ivf_index_write
+    table must (a) bucket-prune the scan to the probed lists
+    (SelectedBucketsCount < total), and (b) contain no Python eval before
+    the probe join — the centroid assignment was paid once at write time.
+    Results must be row-identical to the one-shot ivf_topk."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from s2cell_spark.operators.similarity import (
+        ivf_index_write,
+        ivf_topk,
+        ivf_topk_from_index,
+    )
+
+    rng = np.random.default_rng(3)
+    n, dim, n_cells, nprobe = 400, 16, 8, 2
+    emb = spark.createDataFrame(
+        [(int(i), [float(x) for x in rng.standard_normal(dim)]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+    queries = [(int(i), [float(x) for x in rng.standard_normal(dim)]) for i in range(3)]
+    try:
+        d = ivf_index_write(emb, "t_ivf_plan", n_cells=n_cells)
+        out = ivf_topk_from_index(
+            spark, "t_ivf_plan", d, queries, k=5, n_cells=n_cells, nprobe=nprobe
+        )
+        plan = _plan(out)
+        import re
+
+        m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
+        assert m, "scan is not bucket-pruned:\n" + plan[:2000]
+        assert int(m.group(1)) < int(m.group(2))
+        # the probe path itself is UDF-free (everything before the window)
+        scan_region = plan[plan.index("SelectedBucketsCount"):]
+        assert "ArrowEvalPython" not in scan_region
+        assert "BatchEvalPython" not in plan
+        ref = ivf_topk(emb, queries, k=5, n_cells=n_cells, nprobe=nprobe)
+        assert sorted(map(tuple, out.collect())) == sorted(map(tuple, ref.collect()))
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_ivf_plan")
