@@ -288,9 +288,14 @@ def run_default() -> None:
     throughput_job = _make_throughput_job(spark, path)
 
     joined = throughput_job()  # warm pass: parquet footers, code paths
-    t0 = time.time()
-    throughput_job()
-    encode_join_sec = time.time() - t0
+    # best-of-N here too: this job runs after passes x 37 queries of
+    # accumulated session debris (GC pressure, shuffle dirs), and a single
+    # timed pass inherits it — measured 3x noise on this shared VM
+    encode_join_sec = float("inf")
+    for _ in range(int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))):
+        t0 = time.time()
+        throughput_job()
+        encode_join_sec = min(encode_join_sec, time.time() - t0)
     out = {
         "metric": f"headline queries wall time (best of {passes} interleaved passes)",
         "value": total,
