@@ -72,6 +72,7 @@ PIP_POLYGONS = {
 }
 CELL_LEVEL = 8
 JACC_THRESHOLD_BP = 2000
+SESSION_GAP = "30 minutes"
 # document-frequency cap for the capped exact-Jaccard query: at sf0.01 the
 # max shingle DF is 7, so 5 actually drops shingles (exercises the cap
 # path) while keeping most near-dup pairs
@@ -565,6 +566,87 @@ def _q_events_by_cell(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_asof_clicks_views(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join (operators.asof.asof_join): each click event matched to
+    the SAME USER's most recent at-or-before view event (last-touch
+    attribution / point-in-time feature alignment). Spark has no native
+    ASOF JOIN — the operator is the union-merge window formulation (one
+    key shuffle, linear, no BNLJ); DuckDB DOES have one, and the oracle
+    uses it verbatim, so the operator is value-checked against a native
+    reference implementation. Views are pre-deduped per (user, ts) for
+    tie determinism."""
+    from s2cell_spark.operators.asof import asof_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.min("event_id").alias("view_event_id"))
+    )
+    out = asof_join(clicks, views, on="user_id", ts_col="ts")
+    # timestampdiff handles TIMESTAMP_NTZ (unix_micros does not)
+    lag_us = F.expr("timestampdiff(MICROSECOND, r_ts, ts)")
+    return out.select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("r_view_event_id").cast("long").alias("view_event_id"),
+        lag_us.cast("long").alias("lag_us"),
+    )
+
+
+def _q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-sessionization, batch form: native ``F.session_window`` (zero
+    Python; gap-merge aggregation with partial merge before the
+    exchange). The streaming twin (streaming.sessionize.streaming_sessions,
+    applyInPandasWithState + event-time timeout) is equivalence-tested
+    against this. Oracle: DuckDB islands-and-gaps (lag -> break flag ->
+    running sum -> group)."""
+    from s2cell_spark.streaming.sessionize import user_sessions
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = user_sessions(ev.select("user_id", "ts"), gap=SESSION_GAP)
+    return out.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        "session_start",
+        "session_end",
+        F.col("n_events").cast("long").alias("n_events"),
+    )
+
+
+def _q_cell_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell EXACT percentiles (p50/p95 of event value per level-4
+    cell): Spark's native `percentile` (exact sort-based with linear
+    interpolation) vs DuckDB's `quantile_cont` — same mathematical
+    definition, compared on a 1e-4 fixed-point grid to absorb final-ulp
+    interpolation differences. The S2 dim side reuses the size-gated
+    broadcast star shape of events_by_cell."""
+    from s2cell_spark import functions as S2F
+    from s2cell_spark.plans.joins import broadcast_if_small
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pages = _pages_with_cells(spark, sf_dir)
+    dim = broadcast_if_small(
+        pages.select(
+            F.col("doc_id").alias("user_id"),
+            S2F.cell_id_to_token(
+                S2F.cell_id_to_parent_cell_id(F.col("cell_id"), 4)
+            ).alias("cell_token"),
+        )
+    )
+    pcts = F.expr("percentile(value, array(0.5D, 0.95D))")
+    fp = lambda c: F.floor(c * F.lit(1.0e4) + F.lit(0.5)).cast("long")  # noqa: E731
+    return (
+        ev.join(dim, on="user_id")
+        .groupBy("cell_token")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            fp(F.element_at(pcts, 1)).alias("p50_e4"),
+            fp(F.element_at(pcts, 2)).alias("p95_e4"),
+        )
+    )
+
+
 def _q_supplier_cell_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Star join over the LARGEST test table: lineitem (fact) x supplier
     (dim) with the S2 dimension built on the dim side — suppliers are
@@ -904,6 +986,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neighbors_interior": _q_neighbors_interior,
         "sql_api": _q_sql_api,
         "events_by_cell": _q_events_by_cell,
+        "asof_clicks_views": _q_asof_clicks_views,
+        "user_sessions": _q_user_sessions,
+        "events_cell_quantiles": _q_cell_quantiles,
         "supplier_cell_revenue": _q_supplier_cell_revenue,
         "cell_hour_counts": _q_cell_hour,
         "cell_distinct_urls": _q_cell_distinct_urls,
@@ -1589,6 +1674,70 @@ FROM base GROUP BY ROLLUP (lang, band)
 """
 
 
+def _asof_oracle() -> str:
+    """DuckDB's NATIVE ASOF LEFT JOIN — the strongest possible reference
+    for operators.asof.asof_join (an independent engine's built-in
+    implementation of the same semantics)."""
+    return """WITH clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+),
+views AS (
+  SELECT user_id, ts, min(event_id) AS view_event_id
+  FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+)
+SELECT CAST(c.event_id AS BIGINT) AS event_id,
+       CAST(c.user_id AS BIGINT) AS user_id,
+       CAST(v.view_event_id AS BIGINT) AS view_event_id,
+       CAST(epoch_us(c.ts) - epoch_us(v.ts) AS BIGINT) AS lag_us
+FROM clicks c ASOF LEFT JOIN views v
+  ON c.user_id = v.user_id AND c.ts >= v.ts
+"""
+
+
+def _sessions_oracle() -> str:
+    """Islands-and-gaps re-derivation of session_window: break when the
+    gap from the previous event is >= the gap duration (session windows
+    are [start, last+gap)), running-sum the breaks into session ids."""
+    return """WITH m AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+s AS (
+  SELECT user_id, ts,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM m
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       min(ts) AS session_start,
+       max(ts) AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM s GROUP BY user_id, sid
+"""
+
+
+def _cell_quantiles_oracle() -> str:
+    from s2cell_spark.functions import hilbert_sql as H
+
+    return f"""{_PAGES_CTE},
+{H.leaf_bits_cte(source="pages", max_level=4)},
+dim AS (
+  SELECT doc_id AS user_id, {H.token_sql(H.truncate_sql(4))} AS cell_token
+  FROM s2enc
+)
+SELECT dim.cell_token,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(floor(quantile_cont(e.value, 0.5) * 1e4 + 0.5) AS BIGINT) AS p50_e4,
+       CAST(floor(quantile_cont(e.value, 0.95) * 1e4 + 0.5) AS BIGINT) AS p95_e4
+FROM events e JOIN dim USING (user_id)
+GROUP BY dim.cell_token
+"""
+
+
 def _dedup_oracle() -> str:
     return (
         "SELECT md5(text) AS text_md5, CAST(count(*) AS BIGINT) AS n_docs, "
@@ -1631,6 +1780,9 @@ def oracle_sql() -> dict[str, str]:
         "neighbors_interior": _neighbors_oracle(),
         "sql_api": _sql_api_oracle(),
         "events_by_cell": _events_by_cell_oracle(),
+        "asof_clicks_views": _asof_oracle(),
+        "user_sessions": _sessions_oracle(),
+        "events_cell_quantiles": _cell_quantiles_oracle(),
         "supplier_cell_revenue": _supplier_cell_revenue_oracle(),
         "cell_hour_counts": _cell_hour_oracle(),
         "cell_distinct_urls": _cell_distinct_urls_oracle(),

@@ -38,6 +38,9 @@ HEADLINE = [
     "cell_decode",
     "events_window_1h",
     "events_by_cell",
+    "asof_clicks_views",
+    "user_sessions",
+    "events_cell_quantiles",
     "supplier_cell_revenue",
     "pip_boxes_equi",
     "pip_boxes_range",

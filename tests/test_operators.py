@@ -866,3 +866,115 @@ def test_iceberg_true_branch_drives_writeTo_plan(spark, tmp_path, monkeypatch):
     # resume: is_complete reads the catalog table, not parquet
     assert pipe.is_complete("stage1", manifest["plan_fingerprint"])
     assert calls["read_table"][-1] == "icecat.ns1.stage1"
+
+
+def test_asof_join_semantics_and_tolerance(spark):
+    """Focused unit semantics the oracle query doesn't isolate: unmatched
+    left rows keep nulls, an exactly-simultaneous right row IS matched
+    (at-or-before), and tolerance_ms nulls stale matches while keeping
+    the left row."""
+    from datetime import datetime
+
+    from s2cell_spark.operators.asof import asof_join
+
+    L = spark.createDataFrame(
+        [
+            (1, 10, datetime(2024, 1, 1, 10, 0, 0)),
+            (2, 10, datetime(2024, 1, 1, 12, 0, 0)),
+            (3, 20, datetime(2024, 1, 1, 9, 0, 0)),   # before any right row
+            (4, 30, datetime(2024, 1, 1, 9, 30, 0)),  # exact tie
+        ],
+        "event_id long, user_id long, ts timestamp",
+    )
+    R = spark.createDataFrame(
+        [
+            (10, datetime(2024, 1, 1, 9, 55, 0), 100),
+            (10, datetime(2024, 1, 1, 10, 30, 0), 101),
+            (20, datetime(2024, 1, 1, 11, 0, 0), 200),
+            (30, datetime(2024, 1, 1, 9, 30, 0), 300),
+        ],
+        "user_id long, ts timestamp, snap long",
+    )
+    got = {
+        r["event_id"]: (r["r_snap"], r["r_ts"])
+        for r in asof_join(L, R, on="user_id", ts_col="ts").collect()
+    }
+    assert got[1][0] == 100            # latest at-or-before 10:00
+    assert got[2][0] == 101            # 10:30 snap, not 9:55
+    assert got[3] == (None, None)      # nothing at-or-before
+    assert got[4][0] == 300            # simultaneous row matches
+
+    tol = {
+        r["event_id"]: r["r_snap"]
+        for r in asof_join(L, R, on="user_id", ts_col="ts", tolerance_ms=10 * 60 * 1000).collect()
+    }
+    assert tol[1] == 100               # 5 min old: fresh
+    assert tol[2] is None              # 90 min old: stale -> nulled
+    assert tol[4] == 300               # 0 old: fresh
+    # left rows are never dropped by tolerance
+    assert set(tol) == {1, 2, 3, 4}
+
+
+def test_streaming_sessions_match_batch(spark, tmp_path):
+    """applyInPandasWithState sessionizer == native batch session_window
+    for every session the watermark has closed: feed events in two
+    micro-batches (second batch re-opens one user's session and pushes
+    the watermark far enough to close everything earlier)."""
+    from datetime import datetime, timedelta
+
+    from s2cell_spark.streaming.sessionize import streaming_sessions, user_sessions
+
+    t0 = datetime(2024, 3, 1, 0, 0, 0)
+    m = lambda k: t0 + timedelta(minutes=k)  # noqa: E731
+    b1 = [
+        (1, m(0)), (1, m(10)), (1, m(20)),       # user 1, session A
+        (2, m(5)),                                # user 2, lone event
+        (1, m(120)), (1, m(125)),                 # user 1, session B
+    ]
+    b2 = [
+        (1, m(126)),                              # extends session B
+        (2, m(200)),                              # user 2, session 2
+        (3, m(60 * 24 * 30)),                     # watermark pusher (user 3)
+    ]
+    src = tmp_path / "src"
+    src.mkdir()
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "user_id long, ts timestamp"
+
+    def drop(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("overwrite").parquet(
+            str(src / name)
+        )
+
+    def run_once():
+        stream = spark.readStream.schema(schema).option(
+            "maxFilesPerTrigger", "1"
+        ).parquet(str(src / "*"))
+        out = streaming_sessions(stream, gap_seconds=1800, watermark="0 seconds")
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    drop("b1", b1)
+    run_once()
+    drop("b2", b2)
+    run_once()
+
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.read.parquet(sink).collect()
+    }
+    all_events = spark.createDataFrame(b1 + b2, schema)
+    batch = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in user_sessions(all_events, gap="30 minutes").collect()
+        if r["user_id"] != 3  # the pusher's own session never closes
+    }
+    assert got == batch and len(batch) >= 4

@@ -75,6 +75,8 @@ def test_exact_filter_sits_below_encode_udf(spark, entry):
         "lang_id",
         "tile_heatmap_z6",
         "events_window_1h",
+        "asof_clicks_views",
+        "user_sessions",
     ],
 )
 # (cell_heatmap_l8 / hierarchical_rollup legitimately contain ONE
@@ -265,3 +267,18 @@ def test_ivf_bucketed_index_prunes_buckets_and_runs_no_assignment_udf(spark):
         assert sorted(map(tuple, out.collect())) == sorted(map(tuple, ref.collect()))
     finally:
         spark.sql("DROP TABLE IF EXISTS t_ivf_plan")
+
+
+def test_asof_join_is_union_window_not_nested_loop(spark, entry):
+    """The as-of join must stay the union-merge window formulation: no
+    join operator at all in the plan (a non-equi ts-range join would plan
+    as BroadcastNestedLoopJoin — O(|l| x |r|) per key), exactly one
+    key-hash Exchange feeding the window sort."""
+    plan = _plan(entry.queries()["asof_clicks_views"](spark, SF))
+    assert "NestedLoop" not in plan
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+    assert "Window" in plan and "Union" in plan
+    # exactly two key-hash exchanges: the query's views-dedup aggregate
+    # (partial+final around its own exchange) and the operator's single
+    # union shuffle feeding the window sort — nothing else
+    assert plan.count("Exchange hashpartitioning") == 2

@@ -35,6 +35,9 @@ MIN_ROWS = {
     "cell_hour_counts": 200,
     "cell_distinct_urls": 150,
     "supplier_cell_revenue": 40,
+    "asof_clicks_views": 200,
+    "user_sessions": 100,
+    "events_cell_quantiles": 100,
     "tile_topk_pages": 300,
     "events_by_cell": 250,
     "top_tiles": 20,
