@@ -499,11 +499,14 @@ best-of-{passes} interleaved passes.
 
 Reading: a ratio well under {rep}x means per-query fixed overhead still
 dominates at 1x and throughput is healthy; a ratio at or above {rep}x
-marks a super-linear term. `jaccard_pairs` (the canonical, DF-capped
-form) stays linear by design: cross-replica shingles exceed max_df and
-are dropped before the pair unfold. The uncapped exact variant is
-deliberately NOT benched at {rep}x — its O(DF^2) unfold is the
-documented anti-scale mode.
+marks a super-linear term UNLESS the rows column grew with it — the
+near-dup verifiers (minhash, cosine) are output-bound on this
+deliberately near-dup-heavy corpus, so their wall ratio tracks emitted
+PAIRS (which grow far faster than {rep}x here) rather than scan cost.
+`jaccard_pairs` (the canonical, DF-capped form) stays linear by design:
+cross-replica shingles exceed max_df and are dropped before the pair
+unfold. The uncapped exact variant is deliberately NOT benched at
+{rep}x — its O(DF^2) unfold is the documented anti-scale mode.
 
 ## MinHash candidate-verify join, salted vs plain ({n_docs:,} docs, SMJ forced)
 
