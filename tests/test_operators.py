@@ -978,3 +978,51 @@ def test_streaming_sessions_match_batch(spark, tmp_path):
         if r["user_id"] != 3  # the pusher's own session never closes
     }
     assert got == batch and len(batch) >= 4
+
+
+def test_asof_join_matches_pandas_merge_asof_randomized(spark):
+    """Second independent reference for the as-of join (beyond the DuckDB
+    ASOF oracle): pandas.merge_asof with direction='backward' on 300
+    random rows x 3 seeds, including keys with no right rows, duplicate
+    left timestamps, and left rows before any right row."""
+    rng = np.random.default_rng(21)
+    for _ in range(3):
+        nl, nr = 150, 80
+        base = pd.Timestamp("2024-06-01")
+        lpdf = pd.DataFrame(
+            {
+                "event_id": np.arange(nl, dtype=np.int64),
+                "k": rng.integers(0, 12, nl),
+                "ts": base + pd.to_timedelta(rng.integers(0, 86400, nl), unit="s"),
+            }
+        )
+        rpdf = pd.DataFrame(
+            {
+                # keys 9-11 never appear on the right side
+                "k": rng.integers(0, 9, nr),
+                "ts": base + pd.to_timedelta(rng.integers(0, 86400, nr), unit="s"),
+                "snap": np.arange(nr, dtype=np.int64) * 10,
+            }
+        ).drop_duplicates(["k", "ts"])
+        want = pd.merge_asof(
+            lpdf.sort_values("ts"),
+            rpdf.sort_values("ts").rename(columns={"ts": "r_ts", "snap": "r_snap"}),
+            left_on="ts",
+            right_on="r_ts",
+            left_by="k",
+            right_by="k",
+            direction="backward",
+        )
+        from s2cell_spark.operators.asof import asof_join
+
+        L = spark.createDataFrame(lpdf, "event_id long, k long, ts timestamp")
+        R = spark.createDataFrame(rpdf, "k long, ts timestamp, snap long")
+        got = {
+            r["event_id"]: (r["r_snap"], r["r_ts"])
+            for r in asof_join(L, R, on="k", ts_col="ts").collect()
+        }
+        for _, w in want.iterrows():
+            g_snap, g_ts = got[w["event_id"]]
+            w_snap = None if pd.isna(w["r_snap"]) else int(w["r_snap"])
+            w_ts = None if pd.isna(w["r_ts"]) else w["r_ts"].to_pydatetime()
+            assert g_snap == w_snap and g_ts == w_ts, (w["event_id"], g_snap, w_snap)
