@@ -58,6 +58,18 @@ KNNJ_LEVEL = 4
 KNNJ_K = 3
 KNNJ_NQ = 24
 
+# within-radius (spherical-cap) join: circle_id -> (lat, lon, radius_deg).
+# Centers sit on the synthetic city clusters (hot cells), the equator, and
+# near the south pole (exercises lon_full cap-covering cells).
+RADIUS_CIRCLES = {
+    0: (40.75, -74.0, 3.0),
+    1: (51.5, -0.12, 5.0),
+    2: (-33.87, 18.42, 8.0),
+    3: (-85.0, 100.0, 12.0),
+    4: (0.0, 0.0, 2.0),
+    5: (35.68, 139.7, 2.5),
+}
+
 # region_id -> list of rings, each a list of (lat, lon) vertices; even-odd
 # across rings (ring 2 of region 1 is a HOLE). Vertices are small exact
 # decimals so the Spark UDF and the oracle SQL embed identical float64.
@@ -291,6 +303,23 @@ def _q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").cast("long").alias("doc_id"),
         F.col("rank").cast("long").alias("rank"),
         F.col("truncated").cast("boolean").alias("truncated"),
+    )
+
+
+def _q_within_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-radius join (operators.radius.within_radius_join): every page
+    inside each query circle, via a broadcast cap-covering candidate join +
+    exact fixed-point haversine — value-exact vs a DuckDB oracle that
+    filters the full circles x pages cross product with the identical
+    haversine text on the same 1e-7-deg grid."""
+    from s2cell_spark.operators.radius import within_radius_join
+
+    pages = _pages_with_cells(spark, sf_dir)
+    out = within_radius_join(pages, spark, RADIUS_CIRCLES)
+    return out.select(
+        F.col("circle_id").cast("long").alias("circle_id"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("dist_fp").cast("long").alias("dist_fp"),
     )
 
 
@@ -978,6 +1007,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_polygons": _q_pip_polygons,
         "knn_pages": _q_knn,
         "knn_join_bulk": _q_knn_join,
+        "within_radius": _q_within_radius,
         "tile_heatmap_z6": _q_tile_heatmap,
         "cell_heatmap_l8": _q_cell_heatmap,
         "hierarchical_rollup": _q_hierarchical_rollup,
@@ -1071,6 +1101,23 @@ ranked AS (
 SELECT CAST(query_id AS BIGINT) AS query_id, CAST(doc_id AS BIGINT) AS doc_id,
        CAST(rnk AS BIGINT) AS rank
 FROM ranked WHERE rnk <= {KNN_K}
+"""
+
+
+def _within_radius_oracle() -> str:
+    from s2cell_spark.operators.radius import radius_fp
+
+    rows = ", ".join(
+        f"({cid}, {_flit(la)}, {_flit(lo)}, {radius_fp(r)})"
+        for cid, (la, lo, r) in RADIUS_CIRCLES.items()
+    )
+    dist = _sql_haversine("c.q_lat", "c.q_lon", "p.lat", "p.lon")
+    return f"""{_PAGES_CTE},
+circles(circle_id, q_lat, q_lon, r_fp) AS (VALUES {rows})
+SELECT CAST(c.circle_id AS BIGINT) AS circle_id, CAST(p.doc_id AS BIGINT) AS doc_id,
+       {_rank_fp(dist)} AS dist_fp
+FROM circles c CROSS JOIN pages p
+WHERE {_rank_fp(dist)} <= c.r_fp
 """
 
 
@@ -1772,6 +1819,7 @@ def oracle_sql() -> dict[str, str]:
         "pip_polygons": _pip_polygons_oracle(),
         "knn_pages": _knn_oracle(),
         "knn_join_bulk": _knn_join_oracle(),
+        "within_radius": _within_radius_oracle(),
         "tile_heatmap_z6": _tile_oracle(),
         "cell_heatmap_l8": _cell_heatmap_oracle(),
         "hierarchical_rollup": _hier_rollup_oracle(),

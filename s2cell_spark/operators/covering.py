@@ -25,6 +25,8 @@ pages table; they broadcast into the join.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 
 from s2cell_spark import kernels as K
@@ -306,6 +308,107 @@ def polygon_covering(
                 inside[quiet] = _points_in_polygon(rings, cy, cx)
 
         keep = keep & (boundary | inside)
+        emit = keep & ((inside & (level >= min_emit_level)) | (level == max_level))
+        if emit.any():
+            out.append(frontier[emit])
+        expand = keep & ~emit
+        frontier = _children(frontier[expand]) if expand.any() else np.empty(0, dtype=np.uint64)
+    return np.concatenate(out) if out else np.empty(0, dtype=np.uint64)
+
+
+def _cap_bbox_dist_bounds(
+    q_lat: float,
+    q_lon: float,
+    lat_lo: np.ndarray,
+    lat_hi: np.ndarray,
+    lon_lo: np.ndarray,
+    lon_hi: np.ndarray,
+    lon_full: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per bbox: (lower, upper) bounds in DEGREES of arc on the great-circle
+    distance from (q_lat, q_lon) to ANY point of the lat/lon rectangle.
+
+    From the haversine identity  hav(θ) = sin²(Δφ/2) + cosφ_q·cosφ_p·sin²(Δλ/2)
+    each term is bounded independently over the rectangle: Δφ by the point-to-
+    interval distance (max over endpoints for the upper bound), Δλ by the
+    CIRCULAR point-to-interval distance (180 when the antipodal meridian lies
+    inside, or when ``lon_full``), and cosφ_p by the band's min/max cosine
+    (0 when the band touches a pole). Both Δφ, Δλ lie in [0, 180] where
+    sin(·/2) is monotone, so bounding the arguments bounds the terms; every
+    factor is non-negative, so the bounds on hav(θ) — and through the monotone
+    2·asin(√·) — on θ itself are sound."""
+    dphi_min = np.maximum(0.0, np.maximum(lat_lo - q_lat, q_lat - lat_hi))
+    dphi_max = np.maximum(np.abs(q_lat - lat_lo), np.abs(q_lat - lat_hi))
+
+    def _circ(delta: np.ndarray) -> np.ndarray:
+        return np.abs(((delta + 180.0) % 360.0) - 180.0)
+
+    d_lo = _circ(q_lon - lon_lo)
+    d_hi = _circ(q_lon - lon_hi)
+    q_in = (lon_lo <= q_lon) & (q_lon <= lon_hi)
+    anti = ((q_lon + 360.0) % 360.0) - 180.0  # antipodal lon in [-180, 180)
+    anti_in = (lon_lo <= anti) & (anti <= lon_hi)
+    dlam_min = np.where(lon_full | q_in, 0.0, np.minimum(d_lo, d_hi))
+    dlam_max = np.where(lon_full | anti_in, 180.0, np.maximum(d_lo, d_hi))
+
+    band_spans_eq = (lat_lo <= 0.0) & (0.0 <= lat_hi)
+    band_min_abs = np.where(
+        band_spans_eq, 0.0, np.minimum(np.abs(lat_lo), np.abs(lat_hi))
+    )
+    band_max_abs = np.maximum(np.abs(lat_lo), np.abs(lat_hi))
+    cos_p_hi = np.cos(np.radians(band_min_abs))
+    cos_p_lo = np.maximum(0.0, np.cos(np.radians(np.minimum(90.0, band_max_abs))))
+    cos_q = max(0.0, math.cos(math.radians(q_lat)))
+
+    def _theta(dphi: np.ndarray, cos_p: np.ndarray, dlam: np.ndarray) -> np.ndarray:
+        hav = (
+            np.sin(np.radians(dphi) / 2.0) ** 2
+            + cos_q * cos_p * np.sin(np.radians(dlam) / 2.0) ** 2
+        )
+        return np.degrees(2.0 * np.arcsin(np.sqrt(np.clip(hav, 0.0, 1.0))))
+
+    return _theta(dphi_min, cos_p_lo, dlam_min), _theta(dphi_max, cos_p_hi, dlam_max)
+
+
+def cap_covering(
+    q_lat: float,
+    q_lon: float,
+    radius_deg: float,
+    max_level: int = 10,
+    min_emit_level: int | None = None,
+) -> np.ndarray:
+    """Cells (uint64, mixed levels) whose union covers the spherical cap of
+    ``radius_deg`` degrees of arc around (q_lat, q_lon) — the candidate
+    stage of the within-radius join (operators/radius.py).
+
+    Same BFS skeleton as :func:`latlng_rect_covering`, classifying each
+    candidate cell by the conservative distance bounds of its lat/lng bbox
+    (bbox ⊇ cell, so both branches are safe):
+
+    * bbox's LOWER distance bound > radius  -> whole cell outside -> prune;
+    * bbox's UPPER distance bound <= radius -> whole cell inside  -> emit;
+    * otherwise boundary: recurse, emit at max_level.
+
+    The prune test carries a small slack so the exact haversine stage owns
+    the boundary (a cell is only dropped when even its bbox clears the
+    radius by > _PRUNE_PAD); superset proof as for the rect coverer. Handles
+    poles and the antimeridian through the same ``lon_full`` widening."""
+    if min_emit_level is None:
+        min_emit_level = max(0, max_level - 4)
+    frontier = (np.arange(6, dtype=np.uint64) << np.uint64(61)) | (
+        np.uint64(1) << np.uint64(60)
+    )
+    pad = 1e-6  # degrees; >> any float slack in the bbox/bound math
+    out: list[np.ndarray] = []
+    for level in range(0, max_level + 1):
+        if frontier.size == 0:
+            break
+        c_lat_lo, c_lat_hi, c_lon_lo, c_lon_hi, c_lon_full = cell_latlng_bbox(frontier)
+        d_min, d_max = _cap_bbox_dist_bounds(
+            q_lat, q_lon, c_lat_lo, c_lat_hi, c_lon_lo, c_lon_hi, c_lon_full
+        )
+        keep = d_min <= radius_deg + pad
+        inside = keep & (d_max <= radius_deg)
         emit = keep & ((inside & (level >= min_emit_level)) | (level == max_level))
         if emit.any():
             out.append(frontier[emit])

@@ -1026,3 +1026,78 @@ def test_asof_join_matches_pandas_merge_asof_randomized(spark):
             w_snap = None if pd.isna(w["r_snap"]) else int(w["r_snap"])
             w_ts = None if pd.isna(w["r_ts"]) else w["r_ts"].to_pydatetime()
             assert g_snap == w_snap and g_ts == w_ts, (w["event_id"], g_snap, w_snap)
+
+
+def test_cap_covering_superset_and_bounded():
+    """Every point within `radius` of the center lands in a covering cell
+    (the correctness-critical superset property), across mid-lat, equator,
+    antimeridian, and both polar caps; covering size stays boundary-
+    dominated (~8x per +3 levels), not area-dominated."""
+    rng = np.random.default_rng(7)
+    caps = [
+        (40.75, -74.0, 3.0),
+        (0.0, 179.9, 5.0),      # antimeridian-straddling
+        (-85.0, 100.0, 12.0),   # south-polar (cap contains the pole)
+        (89.5, 0.0, 2.0),       # north-polar
+        (-33.87, 18.42, 8.0),
+        (10.0, -180.0, 1.0),
+    ]
+    for qlat, qlon, r in caps:
+        cov = COV.cap_covering(qlat, qlon, r, max_level=10)
+        assert 0 < cov.shape[0] <= 4000, (qlat, qlon, r, cov.shape[0])
+        # sample points uniformly inside the cap via the spherical
+        # destination formula (bearing t, arc distance d <= r)
+        n = 4000
+        t = rng.uniform(0.0, 2.0 * np.pi, n)
+        d = np.sqrt(rng.uniform(0.0, 1.0, n)) * r
+        phi1, lam1, delta = np.radians(qlat), np.radians(qlon), np.radians(d)
+        phi2 = np.arcsin(
+            np.sin(phi1) * np.cos(delta) + np.cos(phi1) * np.sin(delta) * np.cos(t)
+        )
+        lam2 = lam1 + np.arctan2(
+            np.sin(t) * np.sin(delta) * np.cos(phi1),
+            np.cos(delta) - np.sin(phi1) * np.sin(phi2),
+        )
+        lat = np.degrees(phi2)
+        lon = (np.degrees(lam2) + 540.0) % 360.0 - 180.0
+        leaf = K.lat_lon_to_cell_id(lat, lon, 30)
+        # covering cells are disjoint -> predecessor-interval stab suffices
+        lo = (K.cell_id_range_min(cov) ^ np.uint64(1 << 63)).view(np.int64)
+        hi = (K.cell_id_range_max(cov) ^ np.uint64(1 << 63)).view(np.int64)
+        order = np.argsort(lo)
+        lo, hi = lo[order], hi[order]
+        s = (leaf ^ np.uint64(1 << 63)).view(np.int64)
+        pos = np.searchsorted(lo, s, side="right") - 1
+        ok = (pos >= 0) & (s <= hi[np.clip(pos, 0, None)])
+        assert ok.all(), (qlat, qlon, r, int((~ok).sum()))
+
+
+def test_within_radius_join_matches_bruteforce(spark):
+    """Engine within_radius_join vs a driver-side numpy brute force over
+    the full pages x circles product at sf0.001, on the same fixed-point
+    boundary rule."""
+    from s2cell_spark.operators.knn import haversine_deg
+    from s2cell_spark.operators.radius import radius_fp, within_radius_join
+
+    circles = {0: (40.75, -74.0, 4.0), 1: (-85.0, 100.0, 15.0), 2: (0.0, 179.5, 6.0)}
+    pages = with_cell_id(load_pages(spark, SF_SMOKE))
+    got = {
+        (r["circle_id"], r["doc_id"], r["dist_fp"])
+        for r in within_radius_join(pages, spark, circles).collect()
+    }
+    pdf = pages.select("doc_id", "lat", "lon").toPandas()
+    want = set()
+    for cid, (qlat, qlon, r) in circles.items():
+        la, lo = np.radians(pdf["lat"].to_numpy()), np.radians(pdf["lon"].to_numpy())
+        sp = np.sin((la - np.radians(qlat)) / 2.0)
+        sl = np.sin((lo - np.radians(qlon)) / 2.0)
+        dist = np.degrees(
+            2.0 * np.arcsin(np.sqrt(sp * sp + np.cos(np.radians(qlat)) * np.cos(la) * sl * sl))
+        )
+        fp = np.floor(dist * 1e7 + 0.5).astype(np.int64)
+        m = fp <= radius_fp(r)
+        want |= {
+            (cid, int(d), int(f))
+            for d, f in zip(pdf["doc_id"].to_numpy()[m], fp[m])
+        }
+    assert got == want and len(want) > 0

@@ -282,3 +282,17 @@ def test_asof_join_is_union_window_not_nested_loop(spark, entry):
     # (partial+final around its own exchange) and the operator's single
     # union shuffle feeding the window sort — nothing else
     assert plan.count("Exchange hashpartitioning") == 2
+
+
+def test_within_radius_broadcasts_cap_covering_pages_never_shuffle(spark, entry):
+    """The radius join is the containment-join cost model: covering dim
+    broadcast, exact haversine native, pages side never exchanged."""
+    plan = _plan(entry.queries()["within_radius"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Exchange hashpartitioning" not in plan
+    assert "Exchange rangepartitioning" not in plan
+    # exactly ONE python node: the S2 encode kernel; the haversine
+    # verify stage must not add another
+    assert plan.count("ArrowEvalPython") == 1
+    assert "BatchEvalPython" not in plan
