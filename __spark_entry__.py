@@ -595,6 +595,32 @@ def _q_events_by_cell(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_events_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-pruned shuffle join (plans.bloom.bloom_pruned_join): events
+    (fact) pruned by a bloom filter over the ENGLISH pages' doc_ids before
+    the shuffle, then shuffle-hash-joined and rolled up per level-4 cell.
+    The join-regime ladder's middle rung: dim too big to broadcast as rows,
+    key set compact as bits. Rows are identical to the plain join (bloom
+    false positives die in the join), so the oracle is the plain SQL join
+    with the same lang filter."""
+    from s2cell_spark import functions as S2F
+    from s2cell_spark.plans.bloom import bloom_pruned_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pages = _pages_with_cells(spark, sf_dir)
+    dim = pages.filter(F.col("lang") == "en").select(
+        F.col("doc_id").alias("user_id"),
+        S2F.cell_id_to_token(
+            S2F.cell_id_to_parent_cell_id(F.col("cell_id"), 4)
+        ).alias("cell_token"),
+    )
+    out = bloom_pruned_join(ev, dim, on="user_id")
+    return out.groupBy("cell_token", "event_type").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+    )
+
+
 def _q_asof_clicks_views(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AS-OF join (operators.asof.asof_join): each click event matched to
     the SAME USER's most recent at-or-before view event (last-touch
@@ -1016,6 +1042,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neighbors_interior": _q_neighbors_interior,
         "sql_api": _q_sql_api,
         "events_by_cell": _q_events_by_cell,
+        "events_bloom_join": _q_events_bloom_join,
         "asof_clicks_views": _q_asof_clicks_views,
         "user_sessions": _q_user_sessions,
         "events_cell_quantiles": _q_cell_quantiles,
@@ -1627,6 +1654,24 @@ GROUP BY 1, 2
 """
 
 
+def _events_bloom_join_oracle() -> str:
+    from s2cell_spark.functions import hilbert_sql as H
+
+    return f"""{_PAGES_CTE},
+{H.leaf_bits_cte(source="pages", max_level=4)},
+dim AS (
+  SELECT s.doc_id AS user_id, {H.token_sql(H.truncate_sql(4))} AS cell_token
+  FROM s2enc s JOIN pages p USING (doc_id)
+  WHERE p.lang = 'en'
+)
+SELECT dim.cell_token, e.event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events e JOIN dim USING (user_id)
+GROUP BY 1, 2
+"""
+
+
 def _supplier_cell_revenue_oracle() -> str:
     from s2cell_spark.functions import hilbert_sql as H
 
@@ -1828,6 +1873,7 @@ def oracle_sql() -> dict[str, str]:
         "neighbors_interior": _neighbors_oracle(),
         "sql_api": _sql_api_oracle(),
         "events_by_cell": _events_by_cell_oracle(),
+        "events_bloom_join": _events_bloom_join_oracle(),
         "asof_clicks_views": _asof_oracle(),
         "user_sessions": _sessions_oracle(),
         "events_cell_quantiles": _cell_quantiles_oracle(),

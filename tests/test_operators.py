@@ -1101,3 +1101,33 @@ def test_within_radius_join_matches_bruteforce(spark):
             for d, f in zip(pdf["doc_id"].to_numpy()[m], fp[m])
         }
     assert got == want and len(want) > 0
+
+
+def test_bloom_pruned_join_identical_to_plain_join_and_actually_prunes(spark):
+    """Row identity with the plain join (no false negatives by
+    construction — build and probe share the same native hash exprs), and
+    the probe measurably prunes non-matching fact rows before the
+    shuffle (selective dim: 40 of 400 keys)."""
+    from s2cell_spark.plans.bloom import bloom_pruned_join, build_key_bloom
+
+    fact = spark.range(0, 4000).select(
+        (F.col("id") % 400).alias("k"), F.col("id").alias("payload")
+    )
+    dim = spark.range(0, 40).select(
+        F.col("id").alias("k"), (F.col("id") * 7).alias("attr")
+    )
+    got = {
+        (r["k"], r["payload"], r["attr"])
+        for r in bloom_pruned_join(fact, dim, on="k").collect()
+    }
+    want = {
+        (r["k"], r["payload"], r["attr"]) for r in fact.join(dim, on="k").collect()
+    }
+    assert got == want and len(want) == 400
+
+    # pruning: with m=2^20 bits for 40 keys the FP rate is ~0, so the
+    # survivor count should be (almost exactly) the 400 true matches
+    words = build_key_bloom(dim, "k")
+    assert int(np.unpackbits(words.view(np.uint8)).sum()) <= 40 * 5
+    survivors = bloom_pruned_join(fact, dim, on="k").count()
+    assert survivors == 400

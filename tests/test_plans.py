@@ -296,3 +296,22 @@ def test_within_radius_broadcasts_cap_covering_pages_never_shuffle(spark, entry)
     # verify stage must not add another
     assert plan.count("ArrowEvalPython") == 1
     assert "BatchEvalPython" not in plan
+
+
+def test_bloom_probe_runs_below_the_fact_exchange(spark):
+    """The bloom join's reason to exist: the fact is filtered BEFORE its
+    shuffle. Synthetic UDF-free inputs so the ONLY Python node is the
+    probe; tree printing puts parents first, so the fact-side Exchange
+    line must precede (sit above) the ArrowEvalPython probe, and the join
+    must be the hinted shuffle-hash, never a broadcast."""
+    from pyspark.sql import functions as F
+
+    from s2cell_spark.plans.bloom import bloom_pruned_join
+
+    fact = spark.range(0, 1000).select((F.col("id") % 97).alias("k"), F.col("id").alias("v"))
+    dim = spark.range(0, 10).select(F.col("id").alias("k"), (F.col("id") * 3).alias("a"))
+    plan = _plan(bloom_pruned_join(fact, dim, on="k"))
+    assert "ShuffledHashJoin" in plan
+    assert "BroadcastHashJoin" not in plan
+    assert plan.count("ArrowEvalPython") == 1
+    assert plan.index("Exchange hashpartitioning") < plan.index("ArrowEvalPython")
