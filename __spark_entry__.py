@@ -621,6 +621,31 @@ def _q_events_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_events_in_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval join (operators.intervaljoin.interval_join):
+    events matched into 48 keyless maintenance windows spanning January —
+    bucketized to a 6h-bucket equi join (NO BroadcastNestedLoopJoin;
+    plan-pinned), exact bounds as a native post-filter, rolled up per
+    window. Oracle: DuckDB's native range-predicate join."""
+    from s2cell_spark.operators.intervaljoin import interval_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = spark.range(48).select(
+        F.col("id").alias("window_id"),
+        F.expr(
+            "timestampadd(MINUTE, cast(id*840 AS INT), TIMESTAMP_NTZ'2024-01-01 00:00:00')"
+        ).alias("w_start"),
+        F.expr(
+            "timestampadd(MINUTE, cast(id*840 + 30 + (id*37)%600 AS INT), TIMESTAMP_NTZ'2024-01-01 00:00:00')"
+        ).alias("w_end"),
+    )
+    out = interval_join(ev, w, "ts", "w_start", "w_end", bucket_seconds=6 * 3600)
+    return out.groupBy("window_id").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+    )
+
+
 def _q_asof_clicks_views(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AS-OF join (operators.asof.asof_join): each click event matched to
     the SAME USER's most recent at-or-before view event (last-touch
@@ -767,6 +792,28 @@ def _q_cell_distinct_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = cell_distinct_urls(_pages_with_cells(spark, sf_dir), 6)
     return out.select(
         "cell_token", F.col("n_distinct").cast("long").alias("n_distinct")
+    )
+
+
+def _q_cell_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL-sketch distinct rollup (tiling.cell_distinct_urls_hll): level-8
+    sketches unioned up to level 4, checked against the exact count in the
+    SAME query — emits ``est_ok`` asserting the estimate lands within
+    max(2, 6%) of exact (HLL++ lgConfigK=12 is ~1.6% typical, and exact in
+    sparse mode). The oracle recomputes the exact count and emits literal
+    TRUE: any sketch/union/estimate drift flips est_ok and hash-fails.
+    This is the strongest cross-engine check available for a sketch DuckDB
+    cannot reproduce bit-for-bit."""
+    from s2cell_spark.operators.tiling import cell_distinct_urls, cell_distinct_urls_hll
+
+    pages = _pages_with_cells(spark, sf_dir)
+    approx = cell_distinct_urls_hll(pages, 8, 4)
+    exact = cell_distinct_urls(pages, 4)
+    bound = F.greatest(F.lit(2.0), F.col("n_distinct") * F.lit(0.06))
+    return exact.join(approx, on="cell_token").select(
+        "cell_token",
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        (F.abs(F.col("approx_distinct") - F.col("n_distinct")) <= bound).alias("est_ok"),
     )
 
 
@@ -1043,12 +1090,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_api": _q_sql_api,
         "events_by_cell": _q_events_by_cell,
         "events_bloom_join": _q_events_bloom_join,
+        "events_in_windows": _q_events_in_windows,
         "asof_clicks_views": _q_asof_clicks_views,
         "user_sessions": _q_user_sessions,
         "events_cell_quantiles": _q_cell_quantiles,
         "supplier_cell_revenue": _q_supplier_cell_revenue,
         "cell_hour_counts": _q_cell_hour,
         "cell_distinct_urls": _q_cell_distinct_urls,
+        "cell_distinct_urls_hll": _q_cell_distinct_hll,
         "tile_topk_pages": _q_tile_topk_pages,
         "top_tiles": _q_top_tiles,
         "lang_rollup": _q_lang_rollup,
@@ -1672,6 +1721,21 @@ GROUP BY 1, 2
 """
 
 
+def _events_in_windows_oracle() -> str:
+    return """WITH w AS (
+  SELECT i AS window_id,
+         TIMESTAMP '2024-01-01 00:00:00' + i*840*INTERVAL 1 MINUTE AS w_start,
+         TIMESTAMP '2024-01-01 00:00:00' + (i*840 + 30 + (i*37)%600)*INTERVAL 1 MINUTE AS w_end
+  FROM range(0, 48) t(i)
+)
+SELECT CAST(w.window_id AS BIGINT) AS window_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events e JOIN w ON e.ts >= w.w_start AND e.ts <= w.w_end
+GROUP BY 1
+"""
+
+
 def _supplier_cell_revenue_oracle() -> str:
     from s2cell_spark.functions import hilbert_sql as H
 
@@ -1715,6 +1779,19 @@ def _cell_distinct_urls_oracle() -> str:
 {H.leaf_bits_cte(source="pages", max_level=6)}
 SELECT {H.token_sql(H.truncate_sql(6))} AS cell_token,
        CAST(count(DISTINCT p.url) AS BIGINT) AS n_distinct
+FROM s2enc e JOIN pages p USING (doc_id)
+GROUP BY 1
+"""
+
+
+def _cell_distinct_hll_oracle() -> str:
+    from s2cell_spark.functions import hilbert_sql as H
+
+    return f"""{_PAGES_CTE},
+{H.leaf_bits_cte(source="pages", max_level=4)}
+SELECT {H.token_sql(H.truncate_sql(4))} AS cell_token,
+       CAST(count(DISTINCT p.url) AS BIGINT) AS n_distinct,
+       TRUE AS est_ok
 FROM s2enc e JOIN pages p USING (doc_id)
 GROUP BY 1
 """
@@ -1874,12 +1951,14 @@ def oracle_sql() -> dict[str, str]:
         "sql_api": _sql_api_oracle(),
         "events_by_cell": _events_by_cell_oracle(),
         "events_bloom_join": _events_bloom_join_oracle(),
+        "events_in_windows": _events_in_windows_oracle(),
         "asof_clicks_views": _asof_oracle(),
         "user_sessions": _sessions_oracle(),
         "events_cell_quantiles": _cell_quantiles_oracle(),
         "supplier_cell_revenue": _supplier_cell_revenue_oracle(),
         "cell_hour_counts": _cell_hour_oracle(),
         "cell_distinct_urls": _cell_distinct_urls_oracle(),
+        "cell_distinct_urls_hll": _cell_distinct_hll_oracle(),
         "tile_topk_pages": _tile_topk_oracle(),
         "top_tiles": _top_tiles_oracle(),
         "lang_rollup": _lang_rollup_oracle(),

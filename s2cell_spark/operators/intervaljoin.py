@@ -1,0 +1,65 @@
+"""Point-in-interval (temporal containment) join — ENGINE operator.
+
+The time-axis analogue of the cell containment join (SURVEY §2.2): match
+each point row (an event at instant t) to every interval row whose
+[start, end] contains t, WITHOUT an equi key. Spark's planner turns a
+bare range predicate into BroadcastNestedLoopJoin (O(n·m) compares) —
+the same trap the containment join avoids on the cell axis, solved the
+same way: DISCRETIZE. Both sides map onto fixed-width time buckets
+(intervals explode to the few buckets they span, points to exactly one),
+the join becomes a plain equi join on bucket id — broadcast or shuffle,
+Catalyst's choice — and the exact ``start <= t <= end`` predicate runs
+as a native post-filter. An interval spans each point's bucket at most
+once, so no dedup is needed.
+
+Pick ``bucket_seconds`` near the typical interval length: the interval
+side then explodes by ~len/bucket + 1 ≈ 2 rows while points stay 1:1 —
+at 100 TB of events the events side is scanned once and never
+nested-loop-compared. NTZ-safe epoch math via ``timestampdiff`` from a
+same-type zero (events.ts is TIMESTAMP_NTZ; ``unix_micros`` raises on
+it — CLAUDE.md invariant).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _epoch_seconds(col: str) -> Column:
+    return F.expr(
+        f"timestampdiff(SECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', "
+        f"cast({col} AS TIMESTAMP_NTZ))"
+    )
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    ts_col: str,
+    start_col: str,
+    end_col: str,
+    bucket_seconds: int,
+    by: list[str] | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Rows of `points` x matching `intervals` (closed bounds). Optional
+    `by` adds equi keys (e.g. user_id) alongside the bucket key."""
+    b = F.lit(int(bucket_seconds))
+    pts = points.withColumn("_ij_bucket", F.floor(_epoch_seconds(ts_col) / b))
+    ivs = intervals.withColumn(
+        "_ij_bucket",
+        F.explode(
+            F.sequence(
+                F.floor(_epoch_seconds(start_col) / b),
+                F.floor(_epoch_seconds(end_col) / b),
+            )
+        ),
+    )
+    keys = ["_ij_bucket"] + list(by or [])
+    t = F.col(ts_col)
+    return (
+        pts.join(ivs, on=keys, how=how)
+        .filter((t >= F.col(start_col)) & (t <= F.col(end_col)))
+        .drop("_ij_bucket")
+    )

@@ -131,3 +131,28 @@ def top_pages_per_tile(
     tiled = assign_mercator_tiles(pages, zoom)
     w = Window.partitionBy("tile_x", "tile_y").orderBy(F.col(order_col))
     return tiled.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def cell_distinct_urls_hll(
+    pages: DataFrame, level_fine: int, level_coarse: int, cell_col: str = "cell_id"
+) -> DataFrame:
+    """Approximate distinct URLs per coarse cell via MERGEABLE HLL
+    sketches: (cell_token, approx_distinct).
+
+    The 100 TB shape exact distinct can't take: fine-cell sketches are
+    built once (map-side partial HLL, one shuffle of fixed-size sketch
+    bytes instead of the distinct (cell, url) universe) and ROLL UP to
+    any coarser level by native ``hll_union_agg`` — reusable across the
+    whole level hierarchy without touching raw urls again, the same way
+    `hierarchical_rollup` reuses counts. Union is commutative/associative,
+    so the estimate is independent of partitioning (deterministic across
+    cluster sizes); the error-vs-exact bound is enforced by the
+    `cell_distinct_urls_hll` oracle query, not assumed."""
+    fine = S2F.cell_id_to_parent_cell_id(F.col(cell_col), level_fine)
+    sketches = pages.groupBy(fine.alias("cell_fine")).agg(
+        F.hll_sketch_agg("url").alias("sk")
+    )
+    coarse = S2F.cell_id_to_parent_cell_id(F.col("cell_fine"), level_coarse)
+    return sketches.groupBy(S2F.cell_id_to_token(coarse).alias("cell_token")).agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_distinct")
+    )

@@ -1131,3 +1131,70 @@ def test_bloom_pruned_join_identical_to_plain_join_and_actually_prunes(spark):
     assert int(np.unpackbits(words.view(np.uint8)).sum()) <= 40 * 5
     survivors = bloom_pruned_join(fact, dim, on="k").count()
     assert survivors == 400
+
+
+def test_hll_rollup_partition_invariant_and_matches_direct_sketch(spark):
+    """The scale contract of the sketch rollup: (a) estimates are
+    IDENTICAL under arbitrary repartitioning (union is register-wise max
+    — commutative/associative), so results don't depend on cluster size;
+    (b) unioning level-8 sketches up to level 4 estimates the same as
+    sketching level 4 directly (lossless mergeability)."""
+    from s2cell_spark.operators.tiling import cell_distinct_urls_hll
+
+    pages = with_cell_id(load_pages(spark, SF_CORRECT))
+    a = {
+        r["cell_token"]: r["approx_distinct"]
+        for r in cell_distinct_urls_hll(pages, 8, 4).collect()
+    }
+    b = {
+        r["cell_token"]: r["approx_distinct"]
+        for r in cell_distinct_urls_hll(pages.repartition(17), 8, 4).collect()
+    }
+    assert a == b and len(a) > 50
+    direct = {
+        r["cell_token"]: r["approx_distinct"]
+        for r in cell_distinct_urls_hll(pages, 4, 4).collect()
+    }
+    assert a == direct
+
+
+def test_interval_join_matches_bruteforce_with_keys_and_bounds(spark):
+    """interval_join vs a pandas brute force: keyed + keyless, closed
+    bounds, intervals shorter/longer than the bucket, bucket-edge
+    alignment, and a point exactly on start and on end."""
+    from s2cell_spark.operators.intervaljoin import interval_join
+
+    rng = np.random.default_rng(5)
+    base = pd.Timestamp("2024-02-01")
+    n_p, n_i = 400, 60
+    ppdf = pd.DataFrame(
+        {
+            "pid": np.arange(n_p),
+            "k": rng.integers(0, 4, n_p),
+            "ts": base + pd.to_timedelta(rng.integers(0, 14 * 86400, n_p), unit="s"),
+        }
+    )
+    start = base + pd.to_timedelta(rng.integers(0, 14 * 86400, n_i), unit="s")
+    ipdf = pd.DataFrame(
+        {
+            "iid": np.arange(n_i),
+            "k": rng.integers(0, 4, n_i),
+            "s": start,
+            "e": start + pd.to_timedelta(rng.integers(0, 3 * 86400, n_i), unit="s"),
+        }
+    )
+    # exact boundary hits: a point at one interval's start and another's end
+    ppdf.loc[0, ["k", "ts"]] = [ipdf.loc[0, "k"], ipdf.loc[0, "s"]]
+    ppdf.loc[1, ["k", "ts"]] = [ipdf.loc[1, "k"], ipdf.loc[1, "e"]]
+
+    P = spark.createDataFrame(ppdf, "pid long, k long, ts timestamp")
+    I = spark.createDataFrame(ipdf, "iid long, k long, s timestamp, e timestamp")
+    for by in (None, ["k"]):
+        got = {
+            (r["pid"], r["iid"])
+            for r in interval_join(P, I, "ts", "s", "e", bucket_seconds=86400, by=by).collect()
+        }
+        m = ppdf.merge(ipdf, on="k" if by else None, how="cross" if not by else "inner")
+        m = m[(m["ts"] >= m["s"]) & (m["ts"] <= m["e"])]
+        want = set(zip(m["pid"], m["iid"]))
+        assert got == want and len(want) > 50, by

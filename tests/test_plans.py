@@ -315,3 +315,15 @@ def test_bloom_probe_runs_below_the_fact_exchange(spark):
     assert "BroadcastHashJoin" not in plan
     assert plan.count("ArrowEvalPython") == 1
     assert plan.index("Exchange hashpartitioning") < plan.index("ArrowEvalPython")
+
+
+def test_interval_join_is_equi_never_nested_loop(spark, entry):
+    """The bucketization's whole purpose: a keyless range join must plan
+    as an equi join on the bucket key, never BNLJ/cartesian."""
+    plan = _plan(entry.queries()["events_in_windows"](spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan) or (
+        "ShuffledHashJoin" in plan
+    )
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
