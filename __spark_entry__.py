@@ -19,6 +19,8 @@ from __future__ import annotations
 import math
 from collections.abc import Callable
 
+import numpy as np
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -320,6 +322,49 @@ def _q_within_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("circle_id").cast("long").alias("circle_id"),
         F.col("doc_id").cast("long").alias("doc_id"),
         F.col("dist_fp").cast("long").alias("dist_fp"),
+    )
+
+
+def _cellunion_input() -> dict[int, "np.ndarray"]:
+    """Deterministic normalization stress input: for two PIP boxes, the
+    mixed-level covering UNION its own full level-10 expansion — every
+    redundancy class at once (exact duplicates at level 10, descendants
+    nested under kept ancestors, and complete 4-sibling quads that must
+    cascade back up to the ancestors)."""
+    from s2cell_spark.operators.covering import covering_to_level, latlng_rect_covering
+
+    groups = {}
+    for gid, (_, a, b, c, d) in enumerate(PIP_BOXES[:2]):
+        cov = latlng_rect_covering(a, b, c, d, max_level=10, min_emit_level=6)
+        groups[gid] = np.concatenate([cov, covering_to_level(cov, 10)])
+    return groups
+
+
+def _q_cell_union_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2CellUnion.Normalize (operators.cellunion.normalize_cell_union):
+    minimal disjoint mixed-level form of a redundant cell set — one
+    native window pass + groupBy to merge leaf intervals, then a greedy
+    maximal-dyadic-block walk per island (mapInPandas, metadata-scale).
+    Oracle: the same greedy walk as a DuckDB recursive CTE over an
+    identical VALUES input — two independent derivations of the unique
+    minimal cover."""
+    import pandas as pd
+
+    from s2cell_spark import functions as S2F
+    from s2cell_spark.operators.cellunion import normalize_cell_union
+
+    parts = [
+        pd.DataFrame(
+            {"group_id": np.full(v.shape, k, dtype=np.int64), "cell_id": v.view(np.int64)}
+        )
+        for k, v in _cellunion_input().items()
+    ]
+    df = spark.createDataFrame(pd.concat(parts, ignore_index=True))
+    out = normalize_cell_union(df, group_cols=["group_id"])
+    return out.select(
+        F.col("group_id").cast("long").alias("group_id"),
+        F.col("cell_id").cast("long").alias("cell_id"),
+        S2F.cell_id_to_level(F.col("cell_id")).cast("long").alias("level"),
     )
 
 
@@ -1081,6 +1126,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_pages": _q_knn,
         "knn_join_bulk": _q_knn_join,
         "within_radius": _q_within_radius,
+        "cell_union_normalize": _q_cell_union_normalize,
         "tile_heatmap_z6": _q_tile_heatmap,
         "cell_heatmap_l8": _q_cell_heatmap,
         "hierarchical_rollup": _q_hierarchical_rollup,
@@ -1797,6 +1843,65 @@ GROUP BY 1
 """
 
 
+def _cell_union_oracle() -> str:
+    """The greedy maximal-dyadic-block walk as a DuckDB recursive CTE.
+
+    Integer-only bit math (CLAUDE.md int64 invariants): the unsigned
+    leaf shift is branched on sign with MIN_LONG written as
+    (-9223372036854775807 - 1) (the bare literal would overflow its
+    unary-minus parse), and the power-of-4 alignment comes from a
+    31-row powers table instead of float log2 (whose rounding misfloors
+    near 2^k)."""
+    vals = ", ".join(
+        f"({gid}, {int(c)})"
+        for gid, arr in _cellunion_input().items()
+        for c in arr.view(np.int64)
+    )
+    powers = ", ".join(f"({k}, {4**k})" for k in range(31))
+    min_long = "(-9223372036854775807 - 1)"
+    half = 4611686018427387904  # 2^62
+    ushift = (
+        f"CASE WHEN rm < 0 THEN (rm - {min_long}) / 2 + {half} ELSE rm / 2 END"
+    )
+    return f"""WITH RECURSIVE
+cells0(group_id, cid) AS (VALUES {vals}),
+iv AS (
+  SELECT group_id, {ushift} AS lo, {ushift} + lsb AS hi
+  FROM (SELECT group_id, cid - (cid & -cid) + 1 AS rm, cid & -cid AS lsb FROM cells0)
+),
+brk AS (
+  SELECT group_id, lo, hi,
+         CASE WHEN max(hi) OVER (PARTITION BY group_id ORDER BY lo, hi DESC
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) >= lo
+              THEN 0 ELSE 1 END AS b
+  FROM iv
+),
+isl AS (
+  SELECT group_id, island, min(lo) AS lo, max(hi) AS hi FROM (
+    SELECT group_id, lo, hi,
+           sum(b) OVER (PARTITION BY group_id ORDER BY lo, hi DESC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+    FROM brk)
+  GROUP BY 1, 2
+),
+powers(k, p) AS (VALUES {powers}),
+dec AS (
+  SELECT group_id, lo, hi, CAST(NULL AS BIGINT) AS blk_lo, CAST(NULL AS BIGINT) AS blk
+  FROM isl
+  UNION ALL
+  SELECT group_id, lo + b, hi, lo, b FROM (
+    SELECT group_id, lo, hi,
+           (SELECT max(p) FROM powers WHERE lo % p = 0 AND p <= hi - lo) AS b
+    FROM dec WHERE lo < hi)
+)
+SELECT CAST(group_id AS BIGINT) AS group_id,
+       CAST(CASE WHEN blk_lo < {half} THEN 2*blk_lo + blk
+                 ELSE (2*(blk_lo - {half}) + blk) + {min_long} END AS BIGINT) AS cell_id,
+       CAST(30 - (SELECT k FROM powers WHERE p = blk) AS BIGINT) AS level
+FROM dec WHERE blk IS NOT NULL
+"""
+
+
 def _tile_topk_oracle() -> str:
     n = float(2**TILE_ZOOM)
     last = 2**TILE_ZOOM - 1
@@ -1942,6 +2047,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_pages": _knn_oracle(),
         "knn_join_bulk": _knn_join_oracle(),
         "within_radius": _within_radius_oracle(),
+        "cell_union_normalize": _cell_union_oracle(),
         "tile_heatmap_z6": _tile_oracle(),
         "cell_heatmap_l8": _cell_heatmap_oracle(),
         "hierarchical_rollup": _hier_rollup_oracle(),

@@ -1198,3 +1198,70 @@ def test_interval_join_matches_bruteforce_with_keys_and_bounds(spark):
         m = m[(m["ts"] >= m["s"]) & (m["ts"] <= m["e"])]
         want = set(zip(m["pid"], m["iid"]))
         assert got == want and len(want) > 50, by
+
+
+def test_cell_union_normalize_properties(spark):
+    """Normalization invariants on randomized redundant inputs: exact
+    leaf-union preservation, pairwise disjointness, minimality (no
+    complete 4-sibling quad survives), and idempotence."""
+    from s2cell_spark.operators.cellunion import normalize_cell_union
+
+    rng = np.random.default_rng(3)
+
+    def leaf_intervals(ids):
+        lsb = ids & (~ids + np.uint64(1))
+        lo = ((ids - lsb + np.uint64(1)) >> np.uint64(1)).astype(np.uint64)
+        return np.stack([lo, lo + lsb], axis=1).astype(np.uint64)
+
+    def merged(ids):
+        iv = leaf_intervals(ids)
+        iv = iv[np.argsort(iv[:, 0], kind="stable")]
+        out = []
+        for lo, hi in iv:
+            if out and lo <= out[-1][1]:
+                out[-1][1] = max(out[-1][1], hi)
+            else:
+                out.append([lo, hi])
+        return [(int(a), int(b)) for a, b in out]
+
+    for seed in range(3):
+        r = np.random.default_rng(seed)
+        lat0, lon0 = r.uniform(-60, 50), r.uniform(-150, 150)
+        base = COV.latlng_rect_covering(
+            lat0, lat0 + r.uniform(2, 15), lon0, lon0 + r.uniform(2, 15), max_level=8
+        )
+        # redundancy soup: the covering + full expansions of a sample of
+        # its cells (complete quads) + duplicates of another sample
+        sample = base[r.integers(0, len(base), max(1, len(base) // 3))]
+        exp = COV.covering_to_level(sample, 10)
+        dups = base[r.integers(0, len(base), len(base) // 2)]
+        cells = np.concatenate([base, exp, dups])
+        pdf = pd.DataFrame({"g": np.zeros(len(cells), np.int64), "cell_id": cells.view(np.int64)})
+        out1 = normalize_cell_union(
+            spark.createDataFrame(pdf), group_cols=["g"]
+        ).toPandas()
+        norm = out1["cell_id"].to_numpy(np.int64).view(np.uint64)
+
+        # (a) identical leaf union
+        assert merged(norm) == merged(cells)
+        # (b) disjoint: merged interval count == cell count after dedup of
+        # touching is impossible unless disjoint; check directly
+        iv = leaf_intervals(norm)
+        order = np.argsort(iv[:, 0], kind="stable")
+        iv = iv[order]
+        assert (iv[1:, 0] >= iv[:-1, 1]).all()
+        # (c) no complete 4-sibling quad
+        lvls = K.cell_id_to_level(norm).astype(int)
+        for lvl in np.unique(lvls):
+            if lvl == 0:
+                continue
+            sub = norm[lvls == lvl]
+            parents = K.cell_id_to_parent_cell_id(sub, int(lvl) - 1)
+            _, counts = np.unique(parents, return_counts=True)
+            assert counts.max(initial=0) < 4, f"mergeable quad at level {lvl}"
+        # (d) idempotence
+        out2 = normalize_cell_union(
+            spark.createDataFrame(out1.rename(columns={"cell_id": "cell_id"})),
+            group_cols=["g"],
+        ).toPandas()
+        assert set(out2["cell_id"]) == set(out1["cell_id"])
