@@ -368,6 +368,53 @@ def _q_cell_union_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cellunion_ab_input() -> dict[int, tuple["np.ndarray", "np.ndarray"]]:
+    """Two overlapping rect coverings per group for the set-algebra query:
+    group 0 overlaps the equatorial slab with a shifted box; group 1 the
+    Australia box with a NE-shifted one."""
+    from s2cell_spark.operators.covering import latlng_rect_covering
+
+    return {
+        0: (
+            latlng_rect_covering(-10.0, 10.0, 0.0, 20.0, max_level=8),
+            latlng_rect_covering(0.0, 15.0, 10.0, 30.0, max_level=8),
+        ),
+        1: (
+            latlng_rect_covering(-40.0, -20.0, 110.0, 155.0, max_level=7),
+            latlng_rect_covering(-30.0, -10.0, 130.0, 170.0, max_level=7),
+        ),
+    }
+
+
+def _q_cell_union_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2CellUnion set algebra (operators.cellunion.intersect_cell_unions):
+    normalized intersection of two coverings per group via the boundary-
+    event sweep — one window computes both running coverages, active
+    segments re-merge and decompose; no A-cell ever joins a B-cell.
+    Oracle: the identical sweep + recursive greedy walk in DuckDB SQL."""
+    import pandas as pd
+
+    from s2cell_spark import functions as S2F
+    from s2cell_spark.operators.cellunion import intersect_cell_unions
+
+    parts_a, parts_b = [], []
+    for gid, (A, B) in _cellunion_ab_input().items():
+        parts_a.append(
+            pd.DataFrame({"group_id": np.full(A.shape, gid, np.int64), "cell_id": A.view(np.int64)})
+        )
+        parts_b.append(
+            pd.DataFrame({"group_id": np.full(B.shape, gid, np.int64), "cell_id": B.view(np.int64)})
+        )
+    dfa = spark.createDataFrame(pd.concat(parts_a, ignore_index=True))
+    dfb = spark.createDataFrame(pd.concat(parts_b, ignore_index=True))
+    out = intersect_cell_unions(dfa, dfb, group_cols=["group_id"])
+    return out.select(
+        F.col("group_id").cast("long").alias("group_id"),
+        F.col("cell_id").cast("long").alias("cell_id"),
+        S2F.cell_id_to_level(F.col("cell_id")).cast("long").alias("level"),
+    )
+
+
 def _q_tile_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from s2cell_spark.operators.tiling import tile_heatmap
 
@@ -942,6 +989,31 @@ def _q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dedup resolution: capped exact-Jaccard pairs →
+    distributed connected components (large-star/small-star alternation,
+    O(log n) rounds) → one cluster per transitive near-dup group, every
+    document labeled with its cluster min and a canonical flag. Oracle:
+    DuckDB recursive-CTE transitive closure over the identical pair
+    derivation (closure is quadratic per component — fine at oracle SF,
+    which is exactly why the ENGINE side uses star alternation instead)."""
+    from s2cell_spark.operators.components import connected_components
+    from s2cell_spark.operators.dedup import jaccard_pairs_exact
+
+    docs = _load_docs(spark, sf_dir)
+    pairs = jaccard_pairs_exact(docs, JACC_THRESHOLD_BP, max_df=JACC_MAX_DF)
+    labels = connected_components(pairs, src="doc_a", dst="doc_b")
+    out = docs.select("doc_id").join(
+        labels, on=F.col("doc_id") == F.col("node"), how="left"
+    )
+    cluster = F.coalesce(F.col("component"), F.col("doc_id"))
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        cluster.cast("long").alias("cluster_id"),
+        (cluster == F.col("doc_id")).alias("is_canonical"),
+    )
+
+
 def _q_jaccard_uncapped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT-MODE variant: full-set Jaccard, no document-frequency cap.
     The pair unfold is O(DF^2) per shingle — correct and exact, but NOT
@@ -1127,6 +1199,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_join_bulk": _q_knn_join,
         "within_radius": _q_within_radius,
         "cell_union_normalize": _q_cell_union_normalize,
+        "cell_union_intersect": _q_cell_union_intersect,
         "tile_heatmap_z6": _q_tile_heatmap,
         "cell_heatmap_l8": _q_cell_heatmap,
         "hierarchical_rollup": _q_hierarchical_rollup,
@@ -1150,6 +1223,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_dedup_exact,
         "jaccard_pairs": _q_jaccard_pairs,
         "jaccard_pairs_uncapped": _q_jaccard_uncapped,
+        "dup_clusters": _q_dup_clusters,
         "minhash_near_dups": _q_minhash_near_dups,
         "simhash": _q_simhash,
         "doc_fingerprint": _q_fingerprint,
@@ -1448,6 +1522,27 @@ SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b,
        CAST(floor((10000 * i) / (sa.sz + sb.sz - i)) AS BIGINT) AS jacc_bp
 FROM inter JOIN sz sa ON sa.doc = doc_a JOIN sz sb ON sb.doc = doc_b
 WHERE floor((10000 * i) / (sa.sz + sb.sz - i)) >= {JACC_THRESHOLD_BP}
+"""
+
+
+def _dup_clusters_oracle() -> str:
+    return f"""WITH RECURSIVE
+pairs AS ({_jaccard_oracle(max_df=JACC_MAX_DF)}),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+),
+labels AS (SELECT u AS doc, least(u, min(v)) AS cluster FROM reach GROUP BY u)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       CAST(coalesce(l.cluster, d.doc_id) AS BIGINT) AS cluster_id,
+       (coalesce(l.cluster, d.doc_id) = d.doc_id) AS is_canonical
+FROM documents d LEFT JOIN labels l ON l.doc = d.doc_id
 """
 
 
@@ -1902,6 +1997,96 @@ FROM dec WHERE blk IS NOT NULL
 """
 
 
+def _cell_union_intersect_oracle() -> str:
+    """The boundary-event sweep + greedy walk in DuckDB: per-side islands
+    (same window as the normalize oracle), ±1 events, running coverage of
+    both sides, active segments, re-island, recursive greedy decompose."""
+    vals = ", ".join(
+        f"({gid}, {side}, {int(c)})"
+        for gid, (A, B) in _cellunion_ab_input().items()
+        for side, arr in ((0, A), (1, B))
+        for c in arr.view(np.int64)
+    )
+    powers = ", ".join(f"({k}, {4**k})" for k in range(31))
+    min_long = "(-9223372036854775807 - 1)"
+    half = 4611686018427387904  # 2^62
+    ushift = f"CASE WHEN rm < 0 THEN (rm - {min_long}) / 2 + {half} ELSE rm / 2 END"
+    return f"""WITH RECURSIVE
+cells0(group_id, side, cid) AS (VALUES {vals}),
+iv AS (
+  SELECT group_id, side, {ushift} AS lo, {ushift} + lsb AS hi
+  FROM (SELECT group_id, side, cid - (cid & -cid) + 1 AS rm, cid & -cid AS lsb FROM cells0)
+),
+brk AS (
+  SELECT group_id, side, lo, hi,
+         CASE WHEN max(hi) OVER (PARTITION BY group_id, side ORDER BY lo, hi DESC
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) >= lo
+              THEN 0 ELSE 1 END AS b
+  FROM iv
+),
+isl AS (
+  SELECT group_id, side, island, min(lo) AS lo, max(hi) AS hi FROM (
+    SELECT group_id, side, lo, hi,
+           sum(b) OVER (PARTITION BY group_id, side ORDER BY lo, hi DESC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+    FROM brk)
+  GROUP BY 1, 2, 3
+),
+ev AS (
+  SELECT group_id, pos, sum(da) AS da, sum(db) AS db FROM (
+    SELECT group_id, lo AS pos,
+           CASE WHEN side = 0 THEN 1 ELSE 0 END AS da,
+           CASE WHEN side = 1 THEN 1 ELSE 0 END AS db FROM isl
+    UNION ALL
+    SELECT group_id, hi,
+           CASE WHEN side = 0 THEN -1 ELSE 0 END,
+           CASE WHEN side = 1 THEN -1 ELSE 0 END FROM isl)
+  GROUP BY 1, 2
+),
+seg AS (
+  SELECT group_id, pos AS lo, next_pos AS hi FROM (
+    SELECT group_id, pos,
+           sum(da) OVER (PARTITION BY group_id ORDER BY pos
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+           sum(db) OVER (PARTITION BY group_id ORDER BY pos
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb,
+           lead(pos) OVER (PARTITION BY group_id ORDER BY pos) AS next_pos
+    FROM ev)
+  WHERE ca > 0 AND cb > 0 AND next_pos IS NOT NULL
+),
+brk2 AS (
+  SELECT group_id, lo, hi,
+         CASE WHEN max(hi) OVER (PARTITION BY group_id ORDER BY lo, hi DESC
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) >= lo
+              THEN 0 ELSE 1 END AS b
+  FROM seg
+),
+isl2 AS (
+  SELECT group_id, island, min(lo) AS lo, max(hi) AS hi FROM (
+    SELECT group_id, lo, hi,
+           sum(b) OVER (PARTITION BY group_id ORDER BY lo, hi DESC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+    FROM brk2)
+  GROUP BY 1, 2
+),
+powers(k, p) AS (VALUES {powers}),
+dec AS (
+  SELECT group_id, lo, hi, CAST(NULL AS BIGINT) AS blk_lo, CAST(NULL AS BIGINT) AS blk
+  FROM isl2
+  UNION ALL
+  SELECT group_id, lo + b, hi, lo, b FROM (
+    SELECT group_id, lo, hi,
+           (SELECT max(p) FROM powers WHERE lo % p = 0 AND p <= hi - lo) AS b
+    FROM dec WHERE lo < hi)
+)
+SELECT CAST(group_id AS BIGINT) AS group_id,
+       CAST(CASE WHEN blk_lo < {half} THEN 2*blk_lo + blk
+                 ELSE (2*(blk_lo - {half}) + blk) + {min_long} END AS BIGINT) AS cell_id,
+       CAST(30 - (SELECT k FROM powers WHERE p = blk) AS BIGINT) AS level
+FROM dec WHERE blk IS NOT NULL
+"""
+
+
 def _tile_topk_oracle() -> str:
     n = float(2**TILE_ZOOM)
     last = 2**TILE_ZOOM - 1
@@ -2048,6 +2233,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_join_bulk": _knn_join_oracle(),
         "within_radius": _within_radius_oracle(),
         "cell_union_normalize": _cell_union_oracle(),
+        "cell_union_intersect": _cell_union_intersect_oracle(),
         "tile_heatmap_z6": _tile_oracle(),
         "cell_heatmap_l8": _cell_heatmap_oracle(),
         "hierarchical_rollup": _hier_rollup_oracle(),
@@ -2071,6 +2257,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": _dedup_oracle(),
         "jaccard_pairs": _jaccard_oracle(max_df=JACC_MAX_DF),
         "jaccard_pairs_uncapped": _jaccard_oracle(),
+        "dup_clusters": _dup_clusters_oracle(),
         "minhash_near_dups": _minhash_oracle(),
         "simhash": _simhash_oracle(),
         "doc_fingerprint": _fingerprint_oracle(),

@@ -67,41 +67,39 @@ def _decompose_island(lo: int, hi: int) -> list[int]:
     return out
 
 
-def normalize_cell_union(
-    df: DataFrame, cell_col: str = "cell_id", group_cols: list[str] | None = None
-) -> DataFrame:
-    """Normalized union per group: group_cols + ``cell_id`` (+ ``level``
-    via the native level expr downstream if wanted). Input cells may
-    duplicate, nest, or tile complete quads arbitrarily."""
-    groups = list(group_cols or [])
+def _leaf_intervals(df: DataFrame, cell_col: str, groups: list[str]) -> DataFrame:
+    """Cells -> half-open leaf-index intervals (``_lo``, ``_hi``)."""
     cell = F.col(cell_col)
     lsb = cell.bitwiseAND(-cell)
     lo = F.shiftrightunsigned(S2F.cell_id_range_min(cell), 1)
-    iv = df.select(
-        *groups, lo.alias("_lo"), (lo + lsb).alias("_hi")
-    )
+    return df.select(*groups, lo.alias("_lo"), (lo + lsb).alias("_hi"))
 
+
+def _merge_islands(iv: DataFrame, groups: list[str]) -> DataFrame:
+    """Gaps-and-islands merge of (possibly nested/duplicated/adjacent)
+    intervals into disjoint maximal ones — one window pass + groupBy."""
     w = (
         Window.partitionBy(*groups)
         .orderBy(F.col("_lo"), F.col("_hi").desc())
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     # a row starts a new island when no preceding interval reaches it
-    brk = (
-        F.when(F.max("_hi").over(w) >= F.col("_lo"), F.lit(0)).otherwise(F.lit(1))
-    )
+    brk = F.when(F.max("_hi").over(w) >= F.col("_lo"), F.lit(0)).otherwise(F.lit(1))
     w_run = (
         Window.partitionBy(*groups)
         .orderBy(F.col("_lo"), F.col("_hi").desc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    islands = (
+    return (
         iv.withColumn("_brk", brk)
         .withColumn("_island", F.sum("_brk").over(w_run))
         .groupBy(*groups, "_island")
         .agg(F.min("_lo").alias("_lo"), F.max("_hi").alias("_hi"))
     )
 
+
+def _walk_islands(islands: DataFrame, groups: list[str]) -> DataFrame:
+    """Greedy maximal-dyadic decomposition of each island row -> cells."""
     schema = StructType(
         [islands.schema[g] for g in groups] + [StructField("cell_id", LongType(), False)]
     )
@@ -122,3 +120,66 @@ def normalize_cell_union(
             yield out
 
     return islands.mapInPandas(walk, schema=schema)
+
+
+def normalize_cell_union(
+    df: DataFrame, cell_col: str = "cell_id", group_cols: list[str] | None = None
+) -> DataFrame:
+    """Normalized union per group: group_cols + ``cell_id``. Input cells
+    may duplicate, nest, or tile complete quads arbitrarily."""
+    groups = list(group_cols or [])
+    return _walk_islands(
+        _merge_islands(_leaf_intervals(df, cell_col, groups), groups), groups
+    )
+
+
+def intersect_cell_unions(
+    a: DataFrame,
+    b: DataFrame,
+    cell_col: str = "cell_id",
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Normalized INTERSECTION of two cell sets per group — S2CellUnion
+    set algebra on the leaf-interval line, no pairwise cell compares.
+
+    Each side merges to disjoint islands, the islands become ±1 boundary
+    events, one window pass computes both running coverages, and the
+    segments where BOTH are positive re-merge and decompose through the
+    same greedy walk. Every step is a native window/groupBy except the
+    final metadata-scale walk; at no point does an A-cell meet a B-cell
+    in a join condition — the sweep replaces the quadratic overlap join.
+    """
+    groups = list(group_cols or [])
+    ia = _merge_islands(_leaf_intervals(a, cell_col, groups), groups)
+    ib = _merge_islands(_leaf_intervals(b, cell_col, groups), groups)
+
+    def events(isl: DataFrame, da: int, db: int) -> DataFrame:
+        return isl.select(
+            *groups, F.col("_lo").alias("_pos"), F.lit(da).alias("_da"), F.lit(db).alias("_db")
+        ).unionByName(
+            isl.select(
+                *groups, F.col("_hi").alias("_pos"), F.lit(-da).alias("_da"), F.lit(-db).alias("_db")
+            )
+        )
+
+    ev = (
+        events(ia, 1, 0)
+        .unionByName(events(ib, 0, 1))
+        .groupBy(*groups, "_pos")
+        .agg(F.sum("_da").alias("_da"), F.sum("_db").alias("_db"))
+    )
+    w_run = (
+        Window.partitionBy(*groups)
+        .orderBy("_pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_lead = Window.partitionBy(*groups).orderBy("_pos")
+    seg = (
+        ev.withColumn("_ca", F.sum("_da").over(w_run))
+        .withColumn("_cb", F.sum("_db").over(w_run))
+        .withColumn("_next", F.lead("_pos").over(w_lead))
+        .filter((F.col("_ca") > 0) & (F.col("_cb") > 0) & F.col("_next").isNotNull())
+        .select(*groups, F.col("_pos").alias("_lo"), F.col("_next").alias("_hi"))
+    )
+    # adjacent active segments share boundaries -> re-merge before walking
+    return _walk_islands(_merge_islands(seg, groups), groups)

@@ -140,3 +140,20 @@ def streaming_first_seen(pages_stream: DataFrame, id_col: str = "doc_id") -> Dat
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_radius_alerts(pages_stream: DataFrame, spark, circles) -> DataFrame:
+    """Geofence alerts: every streamed page within each query circle's
+    radius — the streaming twin of ``operators.radius.within_radius_join``
+    (identical code path: stream-static broadcast of the cap-covering dim
+    per micro-batch + native fixed-point haversine verify; the encode UDF
+    runs per micro-batch unchanged). Stateless — no watermark needed; at
+    scale the output is an append-only alert stream keyed (circle_id,
+    url). streaming==batch equivalence is tested."""
+    from s2cell_spark.operators.radius import within_radius_join
+
+    with_cell = pages_stream.withColumn(
+        "cell_id", S2F.lat_lon_to_cell_id(F.col("lat"), F.col("lon"), 30)
+    )
+    joined = within_radius_join(with_cell, spark, circles)
+    return joined.select("circle_id", "url", "dist_fp")

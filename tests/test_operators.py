@@ -1265,3 +1265,162 @@ def test_cell_union_normalize_properties(spark):
             group_cols=["g"],
         ).toPandas()
         assert set(out2["cell_id"]) == set(out1["cell_id"])
+
+
+def test_connected_components_vs_union_find(spark):
+    """Star-alternation components vs a numpy union-find oracle on three
+    adversarial shapes: sparse random, a 200-node path (diameter stress —
+    naive propagation would need 200 rounds; star alternation is
+    logarithmic), and disjoint cliques."""
+    from s2cell_spark.operators.components import connected_components
+
+    def uf_labels(n_edges, nodes):
+        parent = {x: x for x in nodes}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in n_edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return {x: find(x) for x in nodes}
+
+    rng = np.random.default_rng(13)
+    cases = []
+    er = [(int(a), int(b)) for a, b in rng.integers(0, 300, (250, 2)) if a != b]
+    cases.append(er)
+    cases.append([(i, i + 1) for i in range(1000, 1200)])  # path, diameter 200
+    cliques = [
+        (base + i, base + j)
+        for base in (0, 50, 100)
+        for i in range(8)
+        for j in range(i + 1, 8)
+    ]
+    cases.append(cliques)
+    for edges in cases:
+        nodes = sorted({x for e in edges for x in e})
+        pdf = pd.DataFrame(edges, columns=["src", "dst"])
+        got = {
+            r["node"]: r["component"]
+            for r in connected_components(
+                spark.createDataFrame(pdf), max_rounds=25
+            ).collect()
+        }
+        assert got == uf_labels(edges, nodes)
+
+
+def test_streaming_radius_alerts_match_batch(spark, tmp_path):
+    """Stream-static within-radius join == the batch within_radius_join
+    on the same input, row-for-row (circle_id, url, dist_fp)."""
+    from s2cell_spark.operators.radius import within_radius_join
+    from s2cell_spark.streaming.ingest import streaming_radius_alerts
+
+    circles = {0: (40.75, -74.0, 4.0), 1: (-33.87, 18.42, 9.0)}
+    src = str(tmp_path / "stream_src_radius")
+    load_pages(spark, SF_SMOKE).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    out = streaming_radius_alerts(stream, spark, circles)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("radalerts")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["circle_id"], r["url"], r["dist_fp"])
+        for r in spark.sql("select * from radalerts").collect()
+    }
+    batch = within_radius_join(
+        with_cell_id(load_pages(spark, SF_SMOKE)), spark, circles
+    )
+    want = {
+        (r["circle_id"], r["url"], r["dist_fp"])
+        for r in batch.select("circle_id", "url", "dist_fp").collect()
+    }
+    assert got == want and len(want) > 0
+
+
+def test_intersect_cell_unions_matches_interval_oracle(spark):
+    """intersect_cell_unions vs pure-numpy interval intersection of the
+    merged leaf sets, on overlapping / nested / disjoint inputs; output
+    must also be in normal form (disjoint, no complete quads)."""
+    from s2cell_spark.operators.cellunion import intersect_cell_unions
+
+    def leaf_intervals(ids):
+        lsb = ids & (~ids + np.uint64(1))
+        lo = ((ids - lsb + np.uint64(1)) >> np.uint64(1)).astype(np.uint64)
+        return np.stack([lo, lo + lsb], axis=1)
+
+    def merged(ids):
+        iv = leaf_intervals(ids)
+        iv = iv[np.argsort(iv[:, 0], kind="stable")]
+        out = []
+        for lo, hi in iv:
+            if out and lo <= out[-1][1]:
+                out[-1][1] = max(out[-1][1], hi)
+            else:
+                out.append([lo, hi])
+        return out
+
+    def inter(ia, ib):
+        out, i, j = [], 0, 0
+        while i < len(ia) and j < len(ib):
+            lo = max(ia[i][0], ib[j][0])
+            hi = min(ia[i][1], ib[j][1])
+            if lo < hi:
+                out.append((int(lo), int(hi)))
+            if ia[i][1] < ib[j][1]:
+                i += 1
+            else:
+                j += 1
+        return out
+
+    cases = [
+        # overlapping rect coverings
+        (
+            COV.latlng_rect_covering(-10, 10, 0, 20, max_level=7),
+            COV.latlng_rect_covering(0, 15, 10, 30, max_level=7),
+        ),
+        # nested: a box and a sub-box
+        (
+            COV.latlng_rect_covering(30, 50, -20, 10, max_level=7),
+            COV.latlng_rect_covering(35, 45, -10, 0, max_level=8),
+        ),
+        # disjoint
+        (
+            COV.latlng_rect_covering(10, 20, 10, 20, max_level=7),
+            COV.latlng_rect_covering(-60, -50, -120, -110, max_level=7),
+        ),
+    ]
+    for A, B in cases:
+        dfa = spark.createDataFrame(
+            pd.DataFrame({"g": np.zeros(len(A), np.int64), "cell_id": A.view(np.int64)})
+        )
+        dfb = spark.createDataFrame(
+            pd.DataFrame({"g": np.zeros(len(B), np.int64), "cell_id": B.view(np.int64)})
+        )
+        got = intersect_cell_unions(dfa, dfb, group_cols=["g"]).toPandas()
+        norm = got["cell_id"].to_numpy(np.int64).view(np.uint64)
+        want = inter(merged(A), merged(B))
+        if not want:
+            assert len(norm) == 0
+            continue
+        assert [(int(a), int(b)) for a, b in merged(norm)] == want
+        # normal form: disjoint and no complete sibling quads
+        iv = leaf_intervals(norm)
+        iv = iv[np.argsort(iv[:, 0], kind="stable")]
+        assert (iv[1:, 0] >= iv[:-1, 1]).all()
+        lvls = K.cell_id_to_level(norm).astype(int)
+        for lvl in np.unique(lvls):
+            if lvl == 0:
+                continue
+            sub = norm[lvls == lvl]
+            parents = K.cell_id_to_parent_cell_id(sub, int(lvl) - 1)
+            _, counts = np.unique(parents, return_counts=True)
+            assert counts.max(initial=0) < 4
