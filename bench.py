@@ -74,7 +74,21 @@ HEADLINE = [
     "ivf_topk_bucketed",
     "cosine_near_dups",
     "multimodal_features",
+    "within_radius",
+    "cell_union_normalize",
+    "cell_union_intersect",
+    "events_bloom_join",
+    "events_in_windows",
+    "cell_distinct_urls_hll",
+    "dup_clusters",
 ]
+
+
+def headline_names(qs: dict) -> list[str]:
+    """HEADLINE order first (stable cross-round comparability), then any
+    queries() entry not yet listed — a new operator can never silently
+    drop out of the bench."""
+    return [n for n in HEADLINE if n in qs] + [n for n in qs if n not in HEADLINE]
 
 
 def make_spark(cores: int, shuffle_partitions: int | None = None):
@@ -273,7 +287,7 @@ def run_default() -> None:
     passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
     timings: dict[str, float] = {}
     for _ in range(passes):
-        for name in HEADLINE:
+        for name in headline_names(qs):
             t0 = time.time()
             # count() materializes the full result without driver-side collect
             qs[name](spark, SF_DIR).count()
@@ -331,6 +345,7 @@ TEXTSCALE = [
     "ivf_topk_bucketed",
     "cosine_near_dups",
     "multimodal_features",
+    "dup_clusters",
 ]
 
 

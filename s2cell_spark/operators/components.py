@@ -46,9 +46,28 @@ def _fingerprint(e: DataFrame) -> tuple:
 
 
 def connected_components(
-    edges: DataFrame, src: str = "src", dst: str = "dst", max_rounds: int = 40
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 40,
+    shuffle_partitions: int | None = None,
 ) -> DataFrame:
-    """(node, component) for all nodes of `edges`; component = min node."""
+    """(node, component) for all nodes of `edges`; component = min node.
+
+    Near-dup edge sets are usually TINY next to the corpus (pairs, not
+    pages), but each star round is ~6 shuffles — at the session's default
+    partition count the per-round fixed cost (task launch × partitions ×
+    shuffles × rounds) dwarfs the actual work. The shuffle width is
+    therefore scoped to the measured edge count (~1 partition per 100k
+    edges, capped at the session default) by swapping the session conf
+    around the loop and restoring it afterwards; every action of this
+    operator, including the final label materialization, runs inside the
+    guarded block (the function returns a localCheckpoint). Benched
+    13.9 s → see BENCH/MICRO.md on the 47-query suite's worst entry.
+    Callers sharing the session with CONCURRENT actions should pass
+    ``shuffle_partitions`` explicitly instead.
+    """
+    spark = edges.sparkSession
     e = _canon(
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     ).localCheckpoint(eager=True)
@@ -56,12 +75,25 @@ def connected_components(
     if prev[0] == 0:
         return e.select(F.col("u").alias("node"), F.col("v").alias("component"))
 
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    if shuffle_partitions is None:
+        shuffle_partitions = max(2, min(int(old_parts), int(prev[0] // 100_000) + 1))
+    spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        return _star_rounds(e, prev, max_rounds)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+
+
+def _star_rounds(e: DataFrame, prev: tuple, max_rounds: int) -> DataFrame:
+    from s2cell_spark.plans.joins import broadcast_if_small
+
     for _ in range(max_rounds):
         # large-star: every neighbor v > u links to m = min(N(u) ∪ {u})
         sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
         m = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
         e = (
-            sym.join(m, "u")
+            sym.join(broadcast_if_small(m), "u")
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .filter(F.col("u") != F.col("v"))
@@ -72,7 +104,7 @@ def connected_components(
         o = _canon(e)
         mins = o.groupBy("u").agg(F.min("v").alias("m"))
         e = (
-            o.join(mins, "u")
+            o.join(broadcast_if_small(mins), "u")
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .unionByName(mins.select("u", F.col("m").alias("v")))
             .filter(F.col("u") != F.col("v"))
@@ -86,9 +118,11 @@ def connected_components(
     else:
         raise RuntimeError(f"connected_components: no convergence in {max_rounds} rounds")
 
-    # converged: e is a set of min-rooted stars (u -> root)
+    # converged: e is a set of min-rooted stars (u -> root); materialize
+    # inside the caller's scoped-conf block
     return (
         e.select(F.col("u").alias("node"), F.col("v").alias("component"))
         .unionByName(e.select(F.col("v").alias("node"), F.col("v").alias("component")))
         .distinct()
+        .localCheckpoint(eager=True)
     )

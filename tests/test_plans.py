@@ -327,3 +327,12 @@ def test_interval_join_is_equi_never_nested_loop(spark, entry):
         "ShuffledHashJoin" in plan
     )
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_bench_headline_covers_every_query(entry):
+    """A new queries() entry must never silently drop out of the bench."""
+    import bench
+
+    qs = entry.queries()
+    names = bench.headline_names(qs)
+    assert set(names) == set(qs) and len(names) == len(qs)
