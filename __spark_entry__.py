@@ -386,33 +386,41 @@ def _cellunion_ab_input() -> dict[int, tuple["np.ndarray", "np.ndarray"]]:
     }
 
 
-def _q_cell_union_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S2CellUnion set algebra (operators.cellunion.intersect_cell_unions):
-    normalized intersection of two coverings per group via the boundary-
-    event sweep — one window computes both running coverages, active
-    segments re-merge and decompose; no A-cell ever joins a B-cell.
-    Oracle: the identical sweep + recursive greedy walk in DuckDB SQL."""
-    import pandas as pd
+def _q_cell_union_setalg(op: str):
+    """S2CellUnion set algebra (operators.cellunion): normalized A∩B or
+    A\\B of two coverings per group via the boundary-event sweep — one
+    window computes both running coverages, kept segments re-merge and
+    decompose; no A-cell ever joins a B-cell. Oracle: the identical
+    sweep + recursive greedy walk in DuckDB SQL."""
 
-    from s2cell_spark import functions as S2F
-    from s2cell_spark.operators.cellunion import intersect_cell_unions
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import pandas as pd
 
-    parts_a, parts_b = [], []
-    for gid, (A, B) in _cellunion_ab_input().items():
-        parts_a.append(
-            pd.DataFrame({"group_id": np.full(A.shape, gid, np.int64), "cell_id": A.view(np.int64)})
+        from s2cell_spark import functions as S2F
+        from s2cell_spark.operators.cellunion import (
+            difference_cell_unions,
+            intersect_cell_unions,
         )
-        parts_b.append(
-            pd.DataFrame({"group_id": np.full(B.shape, gid, np.int64), "cell_id": B.view(np.int64)})
+
+        parts_a, parts_b = [], []
+        for gid, (A, B) in _cellunion_ab_input().items():
+            parts_a.append(
+                pd.DataFrame({"group_id": np.full(A.shape, gid, np.int64), "cell_id": A.view(np.int64)})
+            )
+            parts_b.append(
+                pd.DataFrame({"group_id": np.full(B.shape, gid, np.int64), "cell_id": B.view(np.int64)})
+            )
+        dfa = spark.createDataFrame(pd.concat(parts_a, ignore_index=True))
+        dfb = spark.createDataFrame(pd.concat(parts_b, ignore_index=True))
+        fn = intersect_cell_unions if op == "intersect" else difference_cell_unions
+        out = fn(dfa, dfb, group_cols=["group_id"])
+        return out.select(
+            F.col("group_id").cast("long").alias("group_id"),
+            F.col("cell_id").cast("long").alias("cell_id"),
+            S2F.cell_id_to_level(F.col("cell_id")).cast("long").alias("level"),
         )
-    dfa = spark.createDataFrame(pd.concat(parts_a, ignore_index=True))
-    dfb = spark.createDataFrame(pd.concat(parts_b, ignore_index=True))
-    out = intersect_cell_unions(dfa, dfb, group_cols=["group_id"])
-    return out.select(
-        F.col("group_id").cast("long").alias("group_id"),
-        F.col("cell_id").cast("long").alias("cell_id"),
-        S2F.cell_id_to_level(F.col("cell_id")).cast("long").alias("level"),
-    )
+
+    return q
 
 
 def _q_tile_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1199,7 +1207,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_join_bulk": _q_knn_join,
         "within_radius": _q_within_radius,
         "cell_union_normalize": _q_cell_union_normalize,
-        "cell_union_intersect": _q_cell_union_intersect,
+        "cell_union_intersect": _q_cell_union_setalg("intersect"),
+        "cell_union_difference": _q_cell_union_setalg("difference"),
         "tile_heatmap_z6": _q_tile_heatmap,
         "cell_heatmap_l8": _q_cell_heatmap,
         "hierarchical_rollup": _q_hierarchical_rollup,
@@ -1997,10 +2006,12 @@ FROM dec WHERE blk IS NOT NULL
 """
 
 
-def _cell_union_intersect_oracle() -> str:
+def _cell_union_sweep_oracle(keep_sql: str) -> str:
     """The boundary-event sweep + greedy walk in DuckDB: per-side islands
     (same window as the normalize oracle), ±1 events, running coverage of
-    both sides, active segments, re-island, recursive greedy decompose."""
+    both sides, segments kept by ``keep_sql`` (intersection: both
+    positive; difference: A positive, B zero), re-island, recursive
+    greedy decompose."""
     vals = ", ".join(
         f"({gid}, {side}, {int(c)})"
         for gid, (A, B) in _cellunion_ab_input().items()
@@ -2052,7 +2063,7 @@ seg AS (
                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb,
            lead(pos) OVER (PARTITION BY group_id ORDER BY pos) AS next_pos
     FROM ev)
-  WHERE ca > 0 AND cb > 0 AND next_pos IS NOT NULL
+  WHERE {keep_sql} AND next_pos IS NOT NULL
 ),
 brk2 AS (
   SELECT group_id, lo, hi,
@@ -2233,7 +2244,8 @@ def oracle_sql() -> dict[str, str]:
         "knn_join_bulk": _knn_join_oracle(),
         "within_radius": _within_radius_oracle(),
         "cell_union_normalize": _cell_union_oracle(),
-        "cell_union_intersect": _cell_union_intersect_oracle(),
+        "cell_union_intersect": _cell_union_sweep_oracle("ca > 0 AND cb > 0"),
+        "cell_union_difference": _cell_union_sweep_oracle("ca > 0 AND cb = 0"),
         "tile_heatmap_z6": _tile_oracle(),
         "cell_heatmap_l8": _cell_heatmap_oracle(),
         "hierarchical_rollup": _hier_rollup_oracle(),

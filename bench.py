@@ -77,6 +77,7 @@ HEADLINE = [
     "within_radius",
     "cell_union_normalize",
     "cell_union_intersect",
+    "cell_union_difference",
     "events_bloom_join",
     "events_in_windows",
     "cell_distinct_urls_hll",

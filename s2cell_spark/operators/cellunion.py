@@ -133,23 +133,16 @@ def normalize_cell_union(
     )
 
 
-def intersect_cell_unions(
-    a: DataFrame,
-    b: DataFrame,
-    cell_col: str = "cell_id",
-    group_cols: list[str] | None = None,
+def _sweep_cell_unions(
+    a: DataFrame, b: DataFrame, cell_col: str, groups: list[str], keep
 ) -> DataFrame:
-    """Normalized INTERSECTION of two cell sets per group — S2CellUnion
-    set algebra on the leaf-interval line, no pairwise cell compares.
-
-    Each side merges to disjoint islands, the islands become ±1 boundary
-    events, one window pass computes both running coverages, and the
-    segments where BOTH are positive re-merge and decompose through the
-    same greedy walk. Every step is a native window/groupBy except the
-    final metadata-scale walk; at no point does an A-cell meet a B-cell
-    in a join condition — the sweep replaces the quadratic overlap join.
-    """
-    groups = list(group_cols or [])
+    """Shared boundary-event sweep for binary set algebra: merge each
+    side to disjoint islands, turn them into ±1 events, carry BOTH
+    running coverages in one window pass, keep the segments where
+    ``keep(ca, cb)`` holds, re-merge, and decompose through the greedy
+    walk. Every step is a native window/groupBy except the final
+    metadata-scale walk; at no point does an A-cell meet a B-cell in a
+    join condition — the sweep replaces the quadratic overlap join."""
     ia = _merge_islands(_leaf_intervals(a, cell_col, groups), groups)
     ib = _merge_islands(_leaf_intervals(b, cell_col, groups), groups)
 
@@ -178,8 +171,34 @@ def intersect_cell_unions(
         ev.withColumn("_ca", F.sum("_da").over(w_run))
         .withColumn("_cb", F.sum("_db").over(w_run))
         .withColumn("_next", F.lead("_pos").over(w_lead))
-        .filter((F.col("_ca") > 0) & (F.col("_cb") > 0) & F.col("_next").isNotNull())
+        .filter(keep(F.col("_ca"), F.col("_cb")) & F.col("_next").isNotNull())
         .select(*groups, F.col("_pos").alias("_lo"), F.col("_next").alias("_hi"))
     )
     # adjacent active segments share boundaries -> re-merge before walking
     return _walk_islands(_merge_islands(seg, groups), groups)
+
+
+def intersect_cell_unions(
+    a: DataFrame,
+    b: DataFrame,
+    cell_col: str = "cell_id",
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Normalized A ∩ B per group (see :func:`_sweep_cell_unions`)."""
+    return _sweep_cell_unions(
+        a, b, cell_col, list(group_cols or []), lambda ca, cb: (ca > 0) & (cb > 0)
+    )
+
+
+def difference_cell_unions(
+    a: DataFrame,
+    b: DataFrame,
+    cell_col: str = "cell_id",
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Normalized A \\ B per group — the anti-mask operation (e.g. carve
+    exclusion zones out of a covering before it broadcasts). Same sweep,
+    keeping segments covered by A and not by B."""
+    return _sweep_cell_unions(
+        a, b, cell_col, list(group_cols or []), lambda ca, cb: (ca > 0) & (cb == 0)
+    )

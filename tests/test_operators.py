@@ -1424,3 +1424,70 @@ def test_intersect_cell_unions_matches_interval_oracle(spark):
             parents = K.cell_id_to_parent_cell_id(sub, int(lvl) - 1)
             _, counts = np.unique(parents, return_counts=True)
             assert counts.max(initial=0) < 4
+
+
+def test_difference_cell_unions_matches_interval_oracle(spark):
+    """A \\ B vs numpy interval subtraction on overlapping, nested (B
+    punches a hole in A), and disjoint inputs; output in normal form."""
+    from s2cell_spark.operators.cellunion import difference_cell_unions
+
+    def leaf_intervals(ids):
+        lsb = ids & (~ids + np.uint64(1))
+        lo = ((ids - lsb + np.uint64(1)) >> np.uint64(1)).astype(np.uint64)
+        return np.stack([lo, lo + lsb], axis=1)
+
+    def merged(ids):
+        iv = leaf_intervals(ids)
+        iv = iv[np.argsort(iv[:, 0], kind="stable")]
+        out = []
+        for lo, hi in iv:
+            if out and lo <= out[-1][1]:
+                out[-1][1] = max(out[-1][1], hi)
+            else:
+                out.append([int(lo), int(hi)])
+        return out
+
+    def subtract(ia, ib):
+        out = []
+        for lo, hi in ia:
+            cur = lo
+            for blo, bhi in ib:
+                if bhi <= cur or blo >= hi:
+                    continue
+                if blo > cur:
+                    out.append((cur, min(blo, hi)))
+                cur = max(cur, bhi)
+                if cur >= hi:
+                    break
+            if cur < hi:
+                out.append((cur, hi))
+        return out
+
+    cases = [
+        (
+            COV.latlng_rect_covering(-10, 10, 0, 20, max_level=7),
+            COV.latlng_rect_covering(0, 15, 10, 30, max_level=7),
+        ),
+        (  # B nested inside A -> difference has a hole
+            COV.latlng_rect_covering(30, 50, -20, 10, max_level=7),
+            COV.latlng_rect_covering(35, 45, -10, 0, max_level=8),
+        ),
+        (
+            COV.latlng_rect_covering(10, 20, 10, 20, max_level=7),
+            COV.latlng_rect_covering(-60, -50, -120, -110, max_level=7),
+        ),
+    ]
+    for A, B in cases:
+        dfa = spark.createDataFrame(
+            pd.DataFrame({"g": np.zeros(len(A), np.int64), "cell_id": A.view(np.int64)})
+        )
+        dfb = spark.createDataFrame(
+            pd.DataFrame({"g": np.zeros(len(B), np.int64), "cell_id": B.view(np.int64)})
+        )
+        got = difference_cell_unions(dfa, dfb, group_cols=["g"]).toPandas()
+        norm = got["cell_id"].to_numpy(np.int64).view(np.uint64)
+        want = subtract(merged(A), merged(B))
+        assert [(int(a), int(b)) for a, b in merged(norm)] == want
+        iv = leaf_intervals(norm)
+        iv = iv[np.argsort(iv[:, 0], kind="stable")]
+        assert (iv[1:, 0] >= iv[:-1, 1]).all()
