@@ -827,6 +827,52 @@ def _q_cell_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_cell_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based per-cell percentiles: ``percentile_approx`` (Greenwald-
+    Khanna, mergeable partials — the 100 TB path where exact sort-based
+    percentile would shuffle raw values) checked IN-QUERY against the
+    exact order statistics. GK's guarantee is on RANK error (<= n/accuracy),
+    so ``est_ok`` asserts each approx quantile lands between the exact
+    neighboring quantiles (p45..p55 around p50, p90..p100 around p95) —
+    deterministic, unlike a value-distance bound on sparse groups. The
+    oracle recomputes the exact p50 and emits literal TRUE flags."""
+    from s2cell_spark import functions as S2F
+    from s2cell_spark.plans.joins import broadcast_if_small
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pages = _pages_with_cells(spark, sf_dir)
+    dim = broadcast_if_small(
+        pages.select(
+            F.col("doc_id").alias("user_id"),
+            S2F.cell_id_to_token(
+                S2F.cell_id_to_parent_cell_id(F.col("cell_id"), 4)
+            ).alias("cell_token"),
+        )
+    )
+    exact = F.expr("percentile(value, array(0.45D, 0.5D, 0.55D, 0.9D, 0.95D, 1.0D))")
+    appx = F.expr("percentile_approx(value, array(0.5D, 0.95D), 10000)")
+    fp = lambda c: F.floor(c * F.lit(1.0e4) + F.lit(0.5)).cast("long")  # noqa: E731
+    agg = (
+        ev.join(dim, on="user_id")
+        .groupBy("cell_token")
+        .agg(F.count("*").cast("long").alias("n_events"), exact.alias("e"), appx.alias("a"))
+    )
+    e, a = F.col("e"), F.col("a")
+    return agg.select(
+        "cell_token",
+        "n_events",
+        fp(F.element_at(e, 2)).alias("p50_e4"),
+        (
+            (F.element_at(a, 1) >= F.element_at(e, 1))
+            & (F.element_at(a, 1) <= F.element_at(e, 3))
+        ).alias("ok50"),
+        (
+            (F.element_at(a, 2) >= F.element_at(e, 4))
+            & (F.element_at(a, 2) <= F.element_at(e, 6))
+        ).alias("ok95"),
+    )
+
+
 def _q_supplier_cell_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Star join over the LARGEST test table: lineitem (fact) x supplier
     (dim) with the S2 dimension built on the dim side — suppliers are
@@ -1222,6 +1268,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_clicks_views": _q_asof_clicks_views,
         "user_sessions": _q_user_sessions,
         "events_cell_quantiles": _q_cell_quantiles,
+        "events_cell_quantiles_approx": _q_cell_quantiles_approx,
         "supplier_cell_revenue": _q_supplier_cell_revenue,
         "cell_hour_counts": _q_cell_hour,
         "cell_distinct_urls": _q_cell_distinct_urls,
@@ -2208,6 +2255,25 @@ GROUP BY dim.cell_token
 """
 
 
+def _cell_quantiles_approx_oracle() -> str:
+    from s2cell_spark.functions import hilbert_sql as H
+
+    return f"""{_PAGES_CTE},
+{H.leaf_bits_cte(source="pages", max_level=4)},
+dim AS (
+  SELECT doc_id AS user_id, {H.token_sql(H.truncate_sql(4))} AS cell_token
+  FROM s2enc
+)
+SELECT dim.cell_token,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(floor(quantile_cont(e.value, 0.5) * 1e4 + 0.5) AS BIGINT) AS p50_e4,
+       TRUE AS ok50,
+       TRUE AS ok95
+FROM events e JOIN dim USING (user_id)
+GROUP BY dim.cell_token
+"""
+
+
 def _dedup_oracle() -> str:
     return (
         "SELECT md5(text) AS text_md5, CAST(count(*) AS BIGINT) AS n_docs, "
@@ -2259,6 +2325,7 @@ def oracle_sql() -> dict[str, str]:
         "asof_clicks_views": _asof_oracle(),
         "user_sessions": _sessions_oracle(),
         "events_cell_quantiles": _cell_quantiles_oracle(),
+        "events_cell_quantiles_approx": _cell_quantiles_approx_oracle(),
         "supplier_cell_revenue": _supplier_cell_revenue_oracle(),
         "cell_hour_counts": _cell_hour_oracle(),
         "cell_distinct_urls": _cell_distinct_urls_oracle(),

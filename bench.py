@@ -81,6 +81,7 @@ HEADLINE = [
     "events_bloom_join",
     "events_in_windows",
     "cell_distinct_urls_hll",
+    "events_cell_quantiles_approx",
     "dup_clusters",
 ]
 
