@@ -51,6 +51,15 @@ MIN_ROWS = {
     "cosine_near_dups": 40,
     "sql_api": 400,
     "token_count": 400,
+    "within_radius": 60,
+    "cell_union_normalize": 130,
+    "cell_union_intersect": 150,
+    "cell_union_difference": 280,
+    "events_bloom_join": 110,
+    "events_in_windows": 40,
+    "cell_distinct_urls_hll": 150,
+    "events_cell_quantiles_approx": 50,
+    "dup_clusters": 400,
 }
 
 
