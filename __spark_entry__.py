@@ -91,6 +91,9 @@ SESSION_GAP = "30 minutes"
 # max shingle DF is 7, so 5 actually drops shingles (exercises the cap
 # path) while keeping most near-dup pairs
 JACC_MAX_DF = 5
+# cc_pipeline quality gate: keeps ~60% of sf0.01 docs (exercises the gate
+# without starving downstream stages)
+QUALITY_MIN = 7000
 ANN_K = 5
 ANN_N_QUERIES = 8
 
@@ -1043,6 +1046,38 @@ def _q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_cc_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end Common-Crawl-style training-data pipeline in ONE fused
+    flow: inferred-language gate -> quality-score gate -> exact-dedup
+    canonical keeper -> geotag -> S2 encode -> per-level-6-cell kept-doc
+    counts. The gates are bare Column exprs (textstats.lang_predicted_col
+    / quality_score_col) applied in the SAME scan — no self-joins of
+    derived tables — so the whole pipeline is one scan + one dedup
+    shuffle + one aggregation; at 10^12 docs the filters run before
+    anything wide moves. Oracle composes the identical SQL pieces."""
+    from pyspark.sql import Window
+
+    from s2cell_spark import functions as S2F
+    from s2cell_spark.operators.textstats import lang_predicted_col, quality_score_col
+
+    docs = _load_docs(spark, sf_dir)
+    best, _ = lang_predicted_col()
+    gated = docs.filter((best == "en") & (quality_score_col() >= QUALITY_MIN))
+    canon = gated.withColumn(
+        "_min_id", F.min("doc_id").over(Window.partitionBy(F.md5(F.col("text"))))
+    ).filter(F.col("doc_id") == F.col("_min_id"))
+    cell = S2F.lat_lon_to_cell_id(F.expr(LAT_SQL), F.expr(LON_SQL), 30)
+    return (
+        canon.withColumn("cell_id", cell)
+        .groupBy(
+            S2F.cell_id_to_token(
+                S2F.cell_id_to_parent_cell_id(F.col("cell_id"), 6)
+            ).alias("cell_token")
+        )
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
+
+
 def _q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end dedup resolution: capped exact-Jaccard pairs →
     distributed connected components (large-star/small-star alternation,
@@ -1280,6 +1315,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_pairs": _q_jaccard_pairs,
         "jaccard_pairs_uncapped": _q_jaccard_uncapped,
         "dup_clusters": _q_dup_clusters,
+        "cc_pipeline": _q_cc_pipeline,
         "minhash_near_dups": _q_minhash_near_dups,
         "simhash": _q_simhash,
         "doc_fingerprint": _q_fingerprint,
@@ -1581,6 +1617,38 @@ WHERE floor((10000 * i) / (sa.sz + sb.sz - i)) >= {JACC_THRESHOLD_BP}
 """
 
 
+def _quality_score_sql() -> str:
+    """The quality score as one SQL expr over ``text`` — identical math
+    to textstats.quality_score_col (and the feat-CTE form in
+    _quality_oracle)."""
+    stop = " + ".join(_occ_sql(wd) for wd in ("the", "and", "of"))
+    nt = f"CAST(len({_WORDS}) AS BIGINT)"
+    tc = "CAST(length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS BIGINT)"
+    return (
+        f"(least(5000, 100 * {nt}) + least(3000, 500 * ({stop})) + "
+        f"(CASE WHEN {nt} > 0 AND floor(100 * {tc} / {nt}) BETWEEN 200 AND 800 "
+        f"THEN 2000 ELSE 0 END))"
+    )
+
+
+def _cc_pipeline_oracle() -> str:
+    from s2cell_spark.functions import hilbert_sql as H
+
+    best, _ = _lang_best_sql()
+    return f"""{_PAGES_CTE},
+gated AS (
+  SELECT doc_id, text FROM documents
+  WHERE {best} = 'en' AND {_quality_score_sql()} >= {QUALITY_MIN}
+),
+canon AS (SELECT min(doc_id) AS doc_id FROM gated GROUP BY md5(text)),
+kept AS (SELECT p.doc_id, p.lat, p.lon FROM pages p JOIN canon USING (doc_id)),
+{H.leaf_bits_cte(source="kept", max_level=6)}
+SELECT {H.token_sql(H.truncate_sql(6))} AS cell_token,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM s2enc GROUP BY 1
+"""
+
+
 def _dup_clusters_oracle() -> str:
     return f"""WITH RECURSIVE
 pairs AS ({_jaccard_oracle(max_df=JACC_MAX_DF)}),
@@ -1712,20 +1780,25 @@ FROM feat
 """
 
 
-def _lang_oracle() -> str:
+def _lang_best_sql() -> tuple[str, str]:
+    """(lang_predicted, marker_hits) SQL exprs over ``text`` — the same
+    sorted-order strictly-greater fold as the Spark impl."""
     from s2cell_spark.operators.textstats import LANG_MARKERS
 
     score = {
         lang: " + ".join(_occ_sql(m) for m in markers)
         for lang, markers in LANG_MARKERS.items()
     }
-    # same fold as the Spark impl: iterate langs in sorted order, strictly
-    # greater score wins
     best, best_score = "'und'", "CAST(0 AS BIGINT)"
     for lang in sorted(LANG_MARKERS):
         s = f"CAST({score[lang]} AS BIGINT)"
         best = f"(CASE WHEN {s} > {best_score} THEN '{lang}' ELSE {best} END)"
         best_score = f"(CASE WHEN {s} > {best_score} THEN {s} ELSE {best_score} END)"
+    return best, best_score
+
+
+def _lang_oracle() -> str:
+    best, best_score = _lang_best_sql()
     return f"""SELECT CAST(doc_id AS BIGINT) AS doc_id, lang AS lang_declared,
        {best} AS lang_predicted, {best_score} AS marker_hits
 FROM documents
@@ -2337,6 +2410,7 @@ def oracle_sql() -> dict[str, str]:
         "jaccard_pairs": _jaccard_oracle(max_df=JACC_MAX_DF),
         "jaccard_pairs_uncapped": _jaccard_oracle(),
         "dup_clusters": _dup_clusters_oracle(),
+        "cc_pipeline": _cc_pipeline_oracle(),
         "minhash_near_dups": _minhash_oracle(),
         "simhash": _simhash_oracle(),
         "doc_fingerprint": _fingerprint_oracle(),

@@ -83,6 +83,7 @@ HEADLINE = [
     "cell_distinct_urls_hll",
     "events_cell_quantiles_approx",
     "dup_clusters",
+    "cc_pipeline",
 ]
 
 
@@ -348,6 +349,7 @@ TEXTSCALE = [
     "cosine_near_dups",
     "multimodal_features",
     "dup_clusters",
+    "cc_pipeline",
 ]
 
 

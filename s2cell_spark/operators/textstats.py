@@ -44,6 +44,53 @@ def token_count(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+def _mean_tok_len_bp_col(n_tokens):
+    # sum of token lengths == count of alnum chars (tokens are maximal
+    # [a-z0-9]+ runs) — one regexp, mirrored verbatim in the oracle.
+    # floor() (not cast) — Spark casts double->long by truncation but
+    # DuckDB rounds; floor() is identical in both engines
+    total_tok_chars = F.length(
+        F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]", "")
+    ).cast("long")
+    return F.when(
+        n_tokens > 0, F.floor(F.lit(100) * total_tok_chars / n_tokens)
+    ).otherwise(F.lit(0).cast("long"))
+
+
+def quality_score_col():
+    """The 0-10000 integer quality score as a bare Column over ``text`` —
+    reusable row-wise inside fused pipelines (cc_pipeline) as well as by
+    :func:`quality_score`."""
+    n_tokens = F.size(words_col()).cast("long")
+    stop_hits = sum(_occurrences(F.col("text"), wd) for wd in ("the", "and", "of"))
+    mean_tok_len_bp = _mean_tok_len_bp_col(n_tokens)
+    return (
+        F.least(F.lit(5000), F.lit(100) * n_tokens)
+        + F.least(F.lit(3000), F.lit(500) * stop_hits)
+        + F.when(
+            (mean_tok_len_bp >= 200) & (mean_tok_len_bp <= 800), F.lit(2000)
+        ).otherwise(F.lit(0))
+    ).cast("long")
+
+
+def lang_predicted_col():
+    """The marker-lexicon language prediction as a bare Column over
+    ``text`` (argmax of marker hits, ties to code order, 'und' when no
+    marker fires) — shared by :func:`lang_id` and fused pipelines."""
+    scores = {
+        lang: sum(_occurrences(F.col("text"), m) for m in markers)
+        for lang, markers in LANG_MARKERS.items()
+    }
+    best = F.lit("und")
+    best_score = F.lit(0).cast("long")
+    for lang in sorted(LANG_MARKERS):  # later langs win only on strictly greater
+        s = scores[lang].cast("long")
+        take = s > best_score
+        best = F.when(take, F.lit(lang)).otherwise(best)
+        best_score = F.when(take, s).otherwise(best_score)
+    return best, best_score
+
+
 def quality_score(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Heuristic quality features + a 0-10000 integer score.
 
@@ -71,21 +118,8 @@ def quality_score(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
         - F.length(F.regexp_replace(F.col("text"), "[0-9]", ""))
     ).cast("long")
     stop_hits = sum(_occurrences(F.col("text"), wd) for wd in ("the", "and", "of"))
-    # sum of token lengths == count of alnum chars (tokens are maximal
-    # [a-z0-9]+ runs) — one regexp, mirrored verbatim in the oracle
-    total_tok_chars = F.length(
-        F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]", "")
-    ).cast("long")
-    # floor() (not cast) — Spark casts double->long by truncation but DuckDB
-    # rounds; floor() is identical in both engines
-    mean_tok_len_bp = F.when(
-        n_tokens > 0, F.floor(F.lit(100) * total_tok_chars / n_tokens)
-    ).otherwise(F.lit(0).cast("long"))
-    score = (
-        F.least(F.lit(5000), F.lit(100) * n_tokens)
-        + F.least(F.lit(3000), F.lit(500) * stop_hits)
-        + F.when((mean_tok_len_bp >= 200) & (mean_tok_len_bp <= 800), F.lit(2000)).otherwise(F.lit(0))
-    )
+    mean_tok_len_bp = _mean_tok_len_bp_col(n_tokens)
+    score = quality_score_col()
     return docs.select(
         F.col(id_col).alias("doc_id"),
         n_chars.alias("n_chars"),
@@ -103,17 +137,7 @@ def lang_id(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     occurrences; predict the argmax (ties break by language code order);
     'und' when no marker fires. Exact integer heuristic — the DuckDB
     oracle reproduces it verbatim."""
-    scores = {
-        lang: sum(_occurrences(F.col("text"), m) for m in markers)
-        for lang, markers in LANG_MARKERS.items()
-    }
-    best = F.lit("und")
-    best_score = F.lit(0).cast("long")
-    for lang in sorted(LANG_MARKERS):  # later langs win only on strictly greater
-        s = scores[lang].cast("long")
-        take = s > best_score
-        best = F.when(take, F.lit(lang)).otherwise(best)
-        best_score = F.when(take, s).otherwise(best_score)
+    best, best_score = lang_predicted_col()
     return docs.select(
         F.col(id_col).alias("doc_id"),
         F.col("lang").alias("lang_declared"),

@@ -336,3 +336,14 @@ def test_bench_headline_covers_every_query(entry):
     qs = entry.queries()
     names = bench.headline_names(qs)
     assert set(names) == set(qs) and len(names) == len(qs)
+
+
+def test_cc_pipeline_is_fused_single_scan(spark, entry):
+    """The pipeline's gates are bare exprs in ONE scan: no join of derived
+    tables anywhere in the plan, exactly one parquet scan, and the only
+    Python node is the S2 encode kernel."""
+    plan = _plan(entry.queries()["cc_pipeline"](spark, SF))
+    assert "Join" not in plan
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("ArrowEvalPython") == 1
+    assert "BatchEvalPython" not in plan

@@ -60,6 +60,7 @@ MIN_ROWS = {
     "cell_distinct_urls_hll": 150,
     "events_cell_quantiles_approx": 50,
     "dup_clusters": 400,
+    "cc_pipeline": 100,
 }
 
 
