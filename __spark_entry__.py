@@ -311,21 +311,26 @@ def _q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q_within_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _q_within_radius(strategy: str):
     """Within-radius join (operators.radius.within_radius_join): every page
-    inside each query circle, via a broadcast cap-covering candidate join +
-    exact fixed-point haversine — value-exact vs a DuckDB oracle that
-    filters the full circles x pages cross product with the identical
-    haversine text on the same 1e-7-deg grid."""
-    from s2cell_spark.operators.radius import within_radius_join
+    inside each query circle, via a cap-covering candidate join (broadcast
+    single-level equi, or mixed-level sorted-range stab) + exact
+    fixed-point haversine — value-exact vs a DuckDB oracle that filters
+    the full circles x pages cross product with the identical haversine
+    text on the same 1e-7-deg grid."""
 
-    pages = _pages_with_cells(spark, sf_dir)
-    out = within_radius_join(pages, spark, RADIUS_CIRCLES)
-    return out.select(
-        F.col("circle_id").cast("long").alias("circle_id"),
-        F.col("doc_id").cast("long").alias("doc_id"),
-        F.col("dist_fp").cast("long").alias("dist_fp"),
-    )
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from s2cell_spark.operators.radius import within_radius_join
+
+        pages = _pages_with_cells(spark, sf_dir)
+        out = within_radius_join(pages, spark, RADIUS_CIRCLES, strategy=strategy)
+        return out.select(
+            F.col("circle_id").cast("long").alias("circle_id"),
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("dist_fp").cast("long").alias("dist_fp"),
+        )
+
+    return q
 
 
 def _cellunion_input() -> dict[int, "np.ndarray"]:
@@ -1286,7 +1291,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_polygons": _q_pip_polygons,
         "knn_pages": _q_knn,
         "knn_join_bulk": _q_knn_join,
-        "within_radius": _q_within_radius,
+        "within_radius": _q_within_radius("equi"),
+        "within_radius_range": _q_within_radius("range"),
         "cell_union_normalize": _q_cell_union_normalize,
         "cell_union_intersect": _q_cell_union_setalg("intersect"),
         "cell_union_difference": _q_cell_union_setalg("difference"),
@@ -2382,6 +2388,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_pages": _knn_oracle(),
         "knn_join_bulk": _knn_join_oracle(),
         "within_radius": _within_radius_oracle(),
+        "within_radius_range": _within_radius_oracle(),
         "cell_union_normalize": _cell_union_oracle(),
         "cell_union_intersect": _cell_union_sweep_oracle("ca > 0 AND cb > 0"),
         "cell_union_difference": _cell_union_sweep_oracle("ca > 0 AND cb = 0"),

@@ -75,6 +75,7 @@ HEADLINE = [
     "cosine_near_dups",
     "multimodal_features",
     "within_radius",
+    "within_radius_range",
     "cell_union_normalize",
     "cell_union_intersect",
     "cell_union_difference",

@@ -1491,3 +1491,21 @@ def test_difference_cell_unions_matches_interval_oracle(spark):
         iv = leaf_intervals(norm)
         iv = iv[np.argsort(iv[:, 0], kind="stable")]
         assert (iv[1:, 0] >= iv[:-1, 1]).all()
+
+
+def test_within_radius_range_strategy_row_identical(spark):
+    """Mixed-level range strategy == equi strategy output, on circles
+    with radii spanning 30x (where the shared equi level is coarsest)."""
+    from s2cell_spark.operators.radius import within_radius_join
+
+    circles = {0: (40.75, -74.0, 0.5), 1: (-33.87, 18.42, 15.0), 2: (48.85, 2.35, 2.0)}
+    pages = with_cell_id(load_pages(spark, SF_SMOKE))
+    a = {
+        (r["circle_id"], r["doc_id"], r["dist_fp"])
+        for r in within_radius_join(pages, spark, circles).collect()
+    }
+    b = {
+        (r["circle_id"], r["doc_id"], r["dist_fp"])
+        for r in within_radius_join(pages, spark, circles, strategy="range").collect()
+    }
+    assert a == b and len(a) > 0

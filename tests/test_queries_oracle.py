@@ -52,6 +52,7 @@ MIN_ROWS = {
     "sql_api": 400,
     "token_count": 400,
     "within_radius": 60,
+    "within_radius_range": 60,
     "cell_union_normalize": 130,
     "cell_union_intersect": 150,
     "cell_union_difference": 280,
