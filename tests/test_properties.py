@@ -98,3 +98,77 @@ def test_validity_never_crashes_and_gates_level(raw):
     valid = K.cell_id_is_valid(arr)[0]
     lvl = K.cell_id_to_level(arr)[0]
     assert bool(valid) == (lvl >= 0)
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    lo=st.integers(min_value=0, max_value=(6 << 60) - 2),
+    span=st.integers(min_value=1, max_value=1 << 52),
+)
+def test_greedy_dyadic_decomposition_exact_and_maximal(lo, span):
+    """cellunion._decompose_island on arbitrary leaf intervals: blocks
+    exactly tile [lo, hi), are 4-ary aligned at their own size, and are
+    MAXIMAL (no two adjacent blocks could merge into a bigger aligned
+    block — the uniqueness argument for the normal form)."""
+    from s2cell_spark.operators.cellunion import _decompose_island
+
+    hi = min(lo + span, 6 << 60)
+    ids = _decompose_island(lo, hi)
+    pos = lo
+    blocks = []
+    for cid in ids:
+        lsb = cid & -cid
+        start = (cid - lsb) >> 1
+        assert start == pos, "blocks must tile left-to-right without gaps"
+        assert lsb & 0x5555555555555555, "size must be a power of 4"
+        assert start % lsb == 0, "block must be aligned to its size"
+        blocks.append((start, lsb))
+        pos = start + lsb
+    assert pos == hi, "blocks must end exactly at hi"
+    # maximality (the greedy invariant): no emitted block could have been
+    # 4x larger — the same-start 4x block is misaligned or overflows hi
+    for start, size in blocks:
+        big = size * 4
+        if big > 1 << 60:
+            continue  # face blocks are the ceiling
+        assert start % big != 0 or start + big > hi, (start, size)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    qlat=st.floats(min_value=-89.9, max_value=89.9),
+    qlon=st.floats(min_value=-180.0, max_value=180.0),
+    radius=st.floats(min_value=0.05, max_value=40.0),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_cap_covering_superset_fuzz(qlat, qlon, radius, seed):
+    """Randomized cap superset property: 300 random points inside each
+    random cap land in a covering cell (complements the 6 fixed caps in
+    test_operators)."""
+    from s2cell_spark.operators.covering import cap_covering
+
+    cov = cap_covering(qlat, qlon, radius, max_level=8)
+    assert cov.size > 0
+    rng = np.random.default_rng(seed)
+    n = 300
+    t = rng.uniform(0.0, 2.0 * np.pi, n)
+    d = np.sqrt(rng.uniform(0.0, 1.0, n)) * radius
+    phi1, lam1, delta = np.radians(qlat), np.radians(qlon), np.radians(d)
+    phi2 = np.arcsin(
+        np.sin(phi1) * np.cos(delta) + np.cos(phi1) * np.sin(delta) * np.cos(t)
+    )
+    lam2 = lam1 + np.arctan2(
+        np.sin(t) * np.sin(delta) * np.cos(phi1),
+        np.cos(delta) - np.sin(phi1) * np.sin(phi2),
+    )
+    lat = np.degrees(phi2)
+    lon = (np.degrees(lam2) + 540.0) % 360.0 - 180.0
+    leaf = K.lat_lon_to_cell_id(lat, lon, 30)
+    lo = (K.cell_id_range_min(cov) ^ np.uint64(1 << 63)).view(np.int64)
+    hi = (K.cell_id_range_max(cov) ^ np.uint64(1 << 63)).view(np.int64)
+    order = np.argsort(lo)
+    lo, hi = lo[order], hi[order]
+    s = (leaf ^ np.uint64(1 << 63)).view(np.int64)
+    pos = np.searchsorted(lo, s, side="right") - 1
+    ok = (pos >= 0) & (s <= hi[np.clip(pos, 0, None)])
+    assert ok.all()
