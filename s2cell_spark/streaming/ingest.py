@@ -157,3 +157,19 @@ def streaming_radius_alerts(pages_stream: DataFrame, spark, circles) -> DataFram
     )
     joined = within_radius_join(with_cell, spark, circles)
     return joined.select("circle_id", "url", "dist_fp")
+
+
+def streaming_interval_alerts(points_stream: DataFrame, intervals, ts_col: str,
+                              start_col: str, end_col: str, bucket_seconds: int) -> DataFrame:
+    """Stream-static point-in-interval join: streamed events matched into
+    a STATIC interval table (maintenance windows, promo periods) with the
+    identical bucketized-equi-join semantics as the batch
+    ``operators.intervaljoin.interval_join`` — the static side's bucket
+    explode re-plans per micro-batch, the streamed side adds one
+    stateless bucket column, and the exact bounds run as a native
+    post-filter. Stateless (append output); streaming==batch tested."""
+    from s2cell_spark.operators.intervaljoin import interval_join
+
+    return interval_join(
+        points_stream, intervals, ts_col, start_col, end_col, bucket_seconds
+    )

@@ -1509,3 +1509,42 @@ def test_within_radius_range_strategy_row_identical(spark):
         for r in within_radius_join(pages, spark, circles, strategy="range").collect()
     }
     assert a == b and len(a) > 0
+
+
+def test_streaming_interval_alerts_match_batch(spark, tmp_path):
+    """Stream-static interval join == batch interval_join on the same
+    events and windows."""
+    from s2cell_spark.operators.intervaljoin import interval_join
+    from s2cell_spark.streaming.ingest import streaming_interval_alerts
+
+    src = str(tmp_path / "stream_src_iv")
+    ev = spark.read.parquet(f"{SF_CORRECT}/events.parquet")
+    ev.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    w = spark.range(20).selectExpr(
+        "id AS window_id",
+        "timestampadd(HOUR, cast(id*30 AS INT), TIMESTAMP_NTZ'2024-01-01 00:00:00') AS s",
+        "timestampadd(HOUR, cast(id*30 + 7 AS INT), TIMESTAMP_NTZ'2024-01-01 00:00:00') AS e",
+    )
+    out = streaming_interval_alerts(stream, w, "ts", "s", "e", 6 * 3600).select(
+        "window_id", "event_id"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ivalerts")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["window_id"], r["event_id"])
+        for r in spark.sql("select * from ivalerts").collect()
+    }
+    want = {
+        (r["window_id"], r["event_id"])
+        for r in interval_join(ev, w, "ts", "s", "e", 6 * 3600)
+        .select("window_id", "event_id")
+        .collect()
+    }
+    assert got == want and len(want) > 100
