@@ -45,6 +45,11 @@ def interval_join(
 ) -> DataFrame:
     """Rows of `points` x matching `intervals` (closed bounds). Optional
     `by` adds equi keys (e.g. user_id) alongside the bucket key."""
+    if how != "inner":
+        # an outer bucket-join would null-extend unmatched points and the
+        # exact-bounds filter would then silently drop them — i.e. any
+        # `how` degenerates to inner here. Refuse instead of lying.
+        raise ValueError("interval_join supports how='inner' only")
     b = F.lit(int(bucket_seconds))
     pts = points.withColumn("_ij_bucket", F.floor(_epoch_seconds(ts_col) / b))
     ivs = intervals.withColumn(
