@@ -1051,6 +1051,40 @@ def _q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_colocated_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located SELF-join (plans.bucketing): pages written ONCE
+    bucketed+sorted by their level-6 cell token (one file per bucket),
+    then the pages x pages co-location join reads the bucket layout back
+    with ZERO Exchange on either side (plan-pinned) — the huge-x-huge
+    join regime where broadcast is impossible and every ad-hoc join would
+    otherwise shuffle 10^12 rows twice. Oracle: the same self-join in
+    DuckDB over the Hilbert-derived level-6 tokens."""
+    from s2cell_spark import functions as S2F
+    from s2cell_spark.plans.bucketing import drop_table_and_orphan, write_bucketed
+
+    pages = _pages_with_cells(spark, sf_dir)
+    cells = pages.select(
+        "doc_id",
+        S2F.cell_id_to_token(
+            S2F.cell_id_to_parent_cell_id(F.col("cell_id"), 6)
+        ).alias("cell_token"),
+    )
+    table = "t_pages_coloc"
+    drop_table_and_orphan(spark, table)
+    write_bucketed(cells, table, "cell_token", 16, sort_cols=("cell_token", "doc_id"))
+    a = spark.table(table).alias("a")
+    b = spark.table(table).alias("b")
+    return (
+        a.join(b, on="cell_token")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            "cell_token",
+            F.col("a.doc_id").cast("long").alias("doc_a"),
+            F.col("b.doc_id").cast("long").alias("doc_b"),
+        )
+    )
+
+
 def _q_cc_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end Common-Crawl-style training-data pipeline in ONE fused
     flow: inferred-language gate -> quality-score gate -> exact-dedup
@@ -1322,6 +1356,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_pairs_uncapped": _q_jaccard_uncapped,
         "dup_clusters": _q_dup_clusters,
         "cc_pipeline": _q_cc_pipeline,
+        "colocated_pairs": _q_colocated_pairs,
         "minhash_near_dups": _q_minhash_near_dups,
         "simhash": _q_simhash,
         "doc_fingerprint": _q_fingerprint,
@@ -1635,6 +1670,19 @@ def _quality_score_sql() -> str:
         f"(CASE WHEN {nt} > 0 AND floor(100 * {tc} / {nt}) BETWEEN 200 AND 800 "
         f"THEN 2000 ELSE 0 END))"
     )
+
+
+def _colocated_pairs_oracle() -> str:
+    from s2cell_spark.functions import hilbert_sql as H
+
+    return f"""{_PAGES_CTE},
+{H.leaf_bits_cte(source="pages", max_level=6)},
+cells AS (
+  SELECT doc_id, {H.token_sql(H.truncate_sql(6))} AS cell_token FROM s2enc
+)
+SELECT a.cell_token, CAST(a.doc_id AS BIGINT) AS doc_a, CAST(b.doc_id AS BIGINT) AS doc_b
+FROM cells a JOIN cells b ON a.cell_token = b.cell_token AND a.doc_id < b.doc_id
+"""
 
 
 def _cc_pipeline_oracle() -> str:
@@ -2418,6 +2466,7 @@ def oracle_sql() -> dict[str, str]:
         "jaccard_pairs_uncapped": _jaccard_oracle(),
         "dup_clusters": _dup_clusters_oracle(),
         "cc_pipeline": _cc_pipeline_oracle(),
+        "colocated_pairs": _colocated_pairs_oracle(),
         "minhash_near_dups": _minhash_oracle(),
         "simhash": _simhash_oracle(),
         "doc_fingerprint": _fingerprint_oracle(),

@@ -85,6 +85,7 @@ HEADLINE = [
     "events_cell_quantiles_approx",
     "dup_clusters",
     "cc_pipeline",
+    "colocated_pairs",
 ]
 
 

@@ -34,9 +34,20 @@ def write_bucketed(
     num_buckets: int,
     sort_cols: tuple[str, ...] | None = None,
 ) -> None:
-    """Write `df` as a bucketed (and optionally sorted) managed table."""
-    writer = df.write.mode("overwrite").format("parquet").bucketBy(
-        num_buckets, bucket_col
+    """Write `df` as a bucketed (and optionally sorted) managed table.
+
+    The pre-write ``repartition`` onto the bucket column gives exactly ONE
+    file per bucket — one-writer-per-bucket avoids the small-files
+    explosion of num_tasks x num_buckets outputs, and is the prerequisite
+    for bucket-sorted scans if the legacy
+    ``spark.sql.legacy.bucketedTableScan.outputOrdering`` flag is on
+    (off by default since 3.0, SPARK-28632; the Exchange elision below
+    never depended on it)."""
+    writer = (
+        df.repartition(num_buckets, bucket_col)
+        .write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(num_buckets, bucket_col)
     )
     writer = writer.sortBy(*(sort_cols or (bucket_col,)))
     writer.saveAsTable(table)
@@ -48,3 +59,19 @@ def bucketed_join(
     """Join two same-bucket-count tables on their bucket key. Plans with
     ZERO Exchange when both sides' bucket layouts match."""
     return spark.table(left_table).join(spark.table(right_table), on=on, how=how)
+
+
+def drop_table_and_orphan(spark: SparkSession, table: str) -> None:
+    """DROP the managed table AND clear an orphaned warehouse dir left by
+    a previous session (registered only in that session's in-memory
+    catalog) — without this, saveAsTable(overwrite) fails with
+    LOCATION_ALREADY_EXISTS across sessions."""
+    import shutil
+    from pathlib import Path
+    from urllib.parse import urlparse
+
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")).path
+    orphan = Path(wh) / table.split(".")[-1].lower()
+    if orphan.exists():
+        shutil.rmtree(orphan, ignore_errors=True)

@@ -347,3 +347,25 @@ def test_cc_pipeline_is_fused_single_scan(spark, entry):
     assert plan.count("Scan parquet") == 1
     assert plan.count("ArrowEvalPython") == 1
     assert "BatchEvalPython" not in plan
+
+
+def test_colocated_pairs_self_join_has_no_exchange_no_sort(spark, entry):
+    """The bucketed self-join's reason to exist: the on-disk bucket
+    layout satisfies the join distribution — zero Exchange on either
+    side. (The per-task Sort remains: Spark stopped trusting bucket SORT
+    metadata by default in 3.0 — SPARK-28632, legacy flag
+    bucketedTableScan.outputOrdering — and sorting an already-sorted run
+    is the cheap part; the Exchange is what costs at 10^12 rows.)
+    Auto-broadcast is disabled for the assertion: at test SF the whole
+    table fits the broadcast threshold (and broadcasting it IS optimal
+    there); the bucketed SMJ is the plan the layout guarantees once
+    stats exceed it."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(entry.queries()["colocated_pairs"](spark, SF))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan
+    assert "SelectedBucketsCount: 16 out of 16" in plan

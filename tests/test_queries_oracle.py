@@ -62,6 +62,7 @@ MIN_ROWS = {
     "events_cell_quantiles_approx": 50,
     "dup_clusters": 400,
     "cc_pipeline": 100,
+    "colocated_pairs": 250,
 }
 
 
