@@ -1102,9 +1102,17 @@ def _q_cc_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _load_docs(spark, sf_dir)
     best, _ = lang_predicted_col()
     gated = docs.filter((best == "en") & (quality_score_col() >= QUALITY_MIN))
+    # rank-filter keeper, NOT min-over-window: row_number()==1 gets the
+    # WindowGroupLimit Partial/Final rewrite (plan-pinned in
+    # tests/test_plans.py), so a viral 10^7x-duplicated boilerplate doc
+    # reduces map-side instead of landing every replica in one window
+    # partition. Semantically identical to keeping min(doc_id) per md5.
     canon = gated.withColumn(
-        "_min_id", F.min("doc_id").over(Window.partitionBy(F.md5(F.col("text"))))
-    ).filter(F.col("doc_id") == F.col("_min_id"))
+        "_rn",
+        F.row_number().over(
+            Window.partitionBy(F.md5(F.col("text"))).orderBy("doc_id")
+        ),
+    ).filter(F.col("_rn") == 1)
     cell = S2F.lat_lon_to_cell_id(F.expr(LAT_SQL), F.expr(LON_SQL), 30)
     return (
         canon.withColumn("cell_id", cell)

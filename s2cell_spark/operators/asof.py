@@ -92,9 +92,11 @@ def asof_join(
     )
     out = carried.filter(F.col("_side") == 1)
     if tolerance_ms is not None:
-        fresh = (
-            F.col(ts_col).cast("double") - F.col("_m_ts").cast("double")
-        ) * 1000.0 <= F.lit(float(tolerance_ms))
+        # timestampdiff is NTZ-safe; casting TIMESTAMP_NTZ to DOUBLE raises
+        # DATATYPE_MISMATCH in Spark 4 (events.ts is NTZ — CLAUDE.md trap)
+        fresh = F.expr(
+            f"timestampdiff(MILLISECOND, _m_ts, {ts_col})"
+        ) <= F.lit(int(tolerance_ms))
         out = out.select(
             *[c for c in left.columns],
             F.when(fresh, F.col("_m_ts")).alias(f"{right_prefix}{ts_col}"),

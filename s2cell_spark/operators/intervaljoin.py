@@ -42,9 +42,18 @@ def interval_join(
     bucket_seconds: int,
     by: list[str] | None = None,
     how: str = "inner",
+    max_buckets_per_interval: int = 4096,
 ) -> DataFrame:
     """Rows of `points` x matching `intervals` (closed bounds). Optional
-    `by` adds equi keys (e.g. user_id) alongside the bucket key."""
+    `by` adds equi keys (e.g. user_id) alongside the bucket key.
+
+    ``max_buckets_per_interval`` guards the explode: an interval spanning
+    ≫ bucket_seconds (a year-long window at minute buckets) would
+    ``sequence()`` into an unbounded per-row array — Spark errors near
+    10^4 elements and memory balloons well before that. The guard raises
+    a CLEAR per-row error naming the offending span instead; fix by
+    raising ``bucket_seconds`` toward the typical interval length (or
+    pre-splitting pathological intervals)."""
     if how != "inner":
         # an outer bucket-join would null-extend unmatched points and the
         # exact-bounds filter would then silently drop them — i.e. any
@@ -52,14 +61,28 @@ def interval_join(
         raise ValueError("interval_join supports how='inner' only")
     b = F.lit(int(bucket_seconds))
     pts = points.withColumn("_ij_bucket", F.floor(_epoch_seconds(ts_col) / b))
+    lo = F.floor(_epoch_seconds(start_col) / b)
+    hi = F.floor(_epoch_seconds(end_col) / b)
+    cap = int(max_buckets_per_interval)
+    # executed inline during the explode's child eval — no extra scan
+    hi_checked = F.when(hi - lo < F.lit(cap), hi).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "interval_join: interval spans more than "
+                    f"{cap} buckets of {int(bucket_seconds)}s ("
+                ),
+                (hi - lo + F.lit(1)).cast("string"),
+                F.lit(
+                    " buckets) — raise bucket_seconds toward the typical "
+                    "interval length or pre-split pathological intervals"
+                ),
+            )
+        )
+    )
     ivs = intervals.withColumn(
         "_ij_bucket",
-        F.explode(
-            F.sequence(
-                F.floor(_epoch_seconds(start_col) / b),
-                F.floor(_epoch_seconds(end_col) / b),
-            )
-        ),
+        F.explode(F.sequence(lo, hi_checked)),
     )
     keys = ["_ij_bucket"] + list(by or [])
     t = F.col(ts_col)

@@ -87,7 +87,18 @@ def bloom_pruned_join(
     The dim carries a SHUFFLE_HASH hint: the whole point of this path is
     that the dim is NOT broadcastable, so the plan must be a shuffle join
     with the (pruned) fact exchange above the bloom probe — pinned in
-    tests/test_plans.py."""
+    tests/test_plans.py.
+
+    Only ``inner`` and ``semi`` joins are legal here: the bloom removes
+    fact rows BEFORE the join, so an outer join would silently drop fact
+    rows that should surface null-extended — the same degeneration
+    interval_join refuses."""
+    if how not in ("inner", "semi", "left_semi", "leftsemi"):
+        raise ValueError(
+            f"bloom_pruned_join supports how='inner'/'semi' only, got {how!r}: "
+            "the pre-join bloom prune drops unmatched fact rows, which an "
+            "outer join is contractually required to keep (null-extended)."
+        )
     words = build_key_bloom(dim, on, num_bits=num_bits, num_hashes=num_hashes)
     bc = fact.sparkSession.sparkContext.broadcast(words)
     shift_mask = np.uint64(1)

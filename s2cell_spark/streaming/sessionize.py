@@ -107,24 +107,30 @@ def streaming_sessions(
         if rows.empty:
             return
         ts_us = rows["ts"].astype("datetime64[us]").astype("int64").sort_values()
-        out = []
+        # Gap-merge the sorted union of this batch's events AND the open
+        # session treated as an interval item (start, last, n). This keeps
+        # batch equivalence for within-watermark out-of-order events in
+        # BOTH directions: an event within gap of the open session's start
+        # legitimately extends it backwards; an event more than gap BEFORE
+        # the start forms its own (immediately closed) session, exactly as
+        # native session_window would — no silent backward merge across a
+        # quiet period (the watermark > gap case).
+        items = [(int(t), int(t), 1) for t in ts_us]
         if state.exists:
-            start_us, last_us, n = state.get
-        else:
-            start_us, last_us, n = int(ts_us.iloc[0]), int(ts_us.iloc[0]) - 1, 0
-        # break at diff >= gap, matching native session_window exactly: a
-        # session's window is [start, last+gap), so an event landing AT
-        # last+gap starts a new session
-        for t in ts_us:
-            t = int(t)
-            if t - last_us >= gap_us and n > 0:
+            s0, l0, n0 = state.get
+            items.append((s0, l0, n0))
+            items.sort(key=lambda it: it[0])
+        out = []
+        start_us, last_us, n = items[0]
+        for s, e, cnt in items[1:]:
+            # a session's window is [start, last+gap): an item starting AT
+            # last+gap begins a new session, matching session_window
+            if s - last_us >= gap_us:
                 out.append((start_us, last_us, n))
-                start_us, n = t, 0
-            # within-watermark out-of-order event may still predate the
-            # open session's start; extend backwards rather than misdate
-            start_us = min(start_us, t)
-            last_us = max(last_us, t)
-            n += 1
+                start_us, last_us, n = s, e, cnt
+            else:
+                last_us = max(last_us, e)
+                n += cnt
         state.update((start_us, last_us, n))
         # the still-open tail session times out once the event-time
         # watermark passes last_ts + gap

@@ -1548,3 +1548,143 @@ def test_streaming_interval_alerts_match_batch(spark, tmp_path):
         .collect()
     }
     assert got == want and len(want) > 100
+
+
+def test_asof_tolerance_on_ntz_timestamps(spark):
+    """tolerance_ms must work on TIMESTAMP_NTZ (the repo's canonical
+    events.ts type): Spark 4 refuses to cast NTZ to DOUBLE, so the
+    freshness check uses NTZ-safe timestampdiff (round-3 ADVICE)."""
+    from datetime import datetime
+
+    from s2cell_spark.operators.asof import asof_join
+
+    L = spark.createDataFrame(
+        [
+            (1, 10, datetime(2024, 1, 1, 10, 0, 0)),
+            (2, 10, datetime(2024, 1, 1, 12, 0, 0)),
+        ],
+        "event_id long, user_id long, ts timestamp_ntz",
+    )
+    R = spark.createDataFrame(
+        [
+            (10, datetime(2024, 1, 1, 9, 55, 0), 100),
+            (10, datetime(2024, 1, 1, 10, 30, 0), 101),
+        ],
+        "user_id long, ts timestamp_ntz, snap long",
+    )
+    tol = {
+        r["event_id"]: r["r_snap"]
+        for r in asof_join(
+            L, R, on="user_id", ts_col="ts", tolerance_ms=10 * 60 * 1000
+        ).collect()
+    }
+    assert tol[1] == 100  # 5 min old: fresh
+    assert tol[2] is None  # 90 min old: stale -> nulled, row kept
+    assert set(tol) == {1, 2}
+
+
+def test_bloom_pruned_join_refuses_outer_joins(spark):
+    """The bloom prune removes fact rows BEFORE the join; an outer join
+    would silently drop rows it contractually must null-extend — refuse
+    (round-3 ADVICE, mirrors interval_join's how guard)."""
+    from s2cell_spark.plans.bloom import bloom_pruned_join
+
+    fact = spark.range(0, 10).select(F.col("id").alias("k"))
+    dim = spark.range(0, 3).select(F.col("id").alias("k"))
+    with pytest.raises(ValueError, match="inner"):
+        bloom_pruned_join(fact, dim, on="k", how="left")
+    with pytest.raises(ValueError, match="inner"):
+        bloom_pruned_join(fact, dim, on="k", how="full")
+    # semi stays legal: prune + semi-join is exactly the bloom's contract
+    assert bloom_pruned_join(fact, dim, on="k", how="semi").count() == 3
+
+
+def test_interval_join_rejects_pathological_interval_span(spark):
+    """A year-long interval at minute buckets must fail with a CLEAR
+    error (naming the operator and the fix) instead of sequence()-ing a
+    ~525k-element array per row (round-3 verdict item 7)."""
+    from datetime import datetime
+
+    from s2cell_spark.operators.intervaljoin import interval_join
+
+    P = spark.createDataFrame(
+        [(1, datetime(2024, 6, 1))], "pid long, ts timestamp"
+    )
+    I = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1), datetime(2025, 1, 1))],
+        "iid long, s timestamp, e timestamp",
+    )
+    bad = interval_join(P, I, "ts", "s", "e", bucket_seconds=60)
+    with pytest.raises(Exception, match="interval_join"):
+        bad.collect()
+    # a sane bucket width on the same data is fine
+    ok = interval_join(P, I, "ts", "s", "e", bucket_seconds=90 * 86400)
+    assert ok.count() == 1
+
+
+def test_streaming_sessions_out_of_order_beyond_gap_splits(spark, tmp_path):
+    """watermark > gap (the DEFAULT config): a within-watermark event
+    arriving more than `gap` BEFORE the open session's start must form
+    its own session (as batch session_window would), NOT merge backwards
+    across the quiet period; an event within gap of the start still
+    legitimately extends the session backwards (round-3 ADVICE)."""
+    from datetime import datetime, timedelta
+
+    from s2cell_spark.streaming.sessionize import streaming_sessions, user_sessions
+
+    t0 = datetime(2024, 3, 1, 0, 0, 0)
+    m = lambda k: t0 + timedelta(minutes=k)  # noqa: E731
+    b1 = [
+        (1, m(100)), (1, m(110)),  # user 1: open session 100..110
+        (2, m(100)), (2, m(110)),  # user 2: open session 100..110
+    ]
+    b2 = [
+        (1, m(10)),   # > gap before user 1's open start -> OWN session
+        (2, m(85)),   # within gap of user 2's start -> extends backwards
+    ]
+    b3 = [(3, m(60 * 24 * 30))]  # watermark pusher closes everything
+    src = tmp_path / "src"
+    src.mkdir()
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "user_id long, ts timestamp"
+
+    def drop(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(src / name))
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src / "*"))
+        )
+        out = streaming_sessions(stream, gap_seconds=1800, watermark="12 hours")
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    for name, rows in (("b1", b1), ("b2", b2), ("b3", b3)):
+        drop(name, rows)
+        run_once()
+
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.read.parquet(sink).collect()
+    }
+    all_events = spark.createDataFrame(b1 + b2 + b3, schema)
+    batch = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in user_sessions(all_events, gap="30 minutes").collect()
+        if r["user_id"] != 3  # the pusher's own session never closes
+    }
+    assert (1, m(10), m(10), 1) in batch  # fixture sanity: batch splits it
+    assert (2, m(85), m(110), 3) in batch  # ...and merges this one
+    assert got == batch

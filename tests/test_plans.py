@@ -349,6 +349,17 @@ def test_cc_pipeline_is_fused_single_scan(spark, entry):
     assert "BatchEvalPython" not in plan
 
 
+def test_cc_pipeline_dedup_keeper_has_partial_group_limit(spark, entry):
+    """The exact-dedup keeper must be the rank-filter form
+    (row_number()==1), which Spark rewrites to WindowGroupLimit
+    Partial/Final — a min-over-window keeper has NO map-side reduction
+    and serializes a 10^7x-duplicated boilerplate doc into one window
+    partition at 100 TB (round-3 verdict, What's wrong #2)."""
+    plan = _plan(entry.queries()["cc_pipeline"](spark, SF))
+    assert plan.count("WindowGroupLimit") >= 2
+    assert "row_number(), 1, Partial" in plan
+
+
 def test_colocated_pairs_self_join_has_no_exchange_no_sort(spark, entry):
     """The bucketed self-join's reason to exist: the on-disk bucket
     layout satisfies the join distribution — zero Exchange on either
