@@ -42,9 +42,7 @@ HEADLINE = [
     "user_sessions",
     "events_cell_quantiles",
     "supplier_cell_revenue",
-    "pip_boxes_equi",
-    "pip_boxes_range",
-    "pip_boxes_salted",
+    "pip_boxes",
     "pip_polygons",
     "knn_pages",
     "knn_join_bulk",
@@ -62,7 +60,6 @@ HEADLINE = [
     "sql_api",
     "dedup_exact",
     "jaccard_pairs",
-    "jaccard_pairs_uncapped",
     "minhash_near_dups",
     "simhash",
     "doc_fingerprint",
@@ -71,21 +68,20 @@ HEADLINE = [
     "lang_id",
     "ann_topk",
     "ivf_topk",
-    "ivf_topk_bucketed",
     "cosine_near_dups",
     "multimodal_features",
     "within_radius",
-    "within_radius_range",
     "cell_union_normalize",
-    "cell_union_intersect",
-    "cell_union_difference",
+    "cell_union_setalg",
     "events_bloom_join",
     "events_in_windows",
     "cell_distinct_urls_hll",
     "events_cell_quantiles_approx",
     "dup_clusters",
+    "dup_clusters_minhash",
     "cc_pipeline",
     "colocated_pairs",
+    "cell_distinct_urls_hll_prod",
 ]
 
 
@@ -347,10 +343,10 @@ TEXTSCALE = [
     "lang_id",
     "ann_topk",
     "ivf_topk",
-    "ivf_topk_bucketed",
     "cosine_near_dups",
     "multimodal_features",
     "dup_clusters",
+    "dup_clusters_minhash",
     "cc_pipeline",
 ]
 

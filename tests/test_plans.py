@@ -30,7 +30,7 @@ def entry():
 
 
 def test_containment_equi_broadcasts_pages_never_shuffle(spark, entry):
-    plan = _plan(entry.queries()["pip_boxes_equi"](spark, SF))
+    plan = _plan(entry._q_pip("equi")(spark, SF))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     # the only exchange allowed is the broadcast of the covering dim
@@ -39,7 +39,7 @@ def test_containment_equi_broadcasts_pages_never_shuffle(spark, entry):
 
 
 def test_salted_join_still_broadcast(spark, entry):
-    plan = _plan(entry.queries()["pip_boxes_salted"](spark, SF))
+    plan = _plan(entry._q_pip("salted")(spark, SF))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
 
@@ -53,7 +53,7 @@ def test_exact_filter_sits_below_encode_udf(spark, entry):
     filters would satisfy a bare position check vacuously."""
     import re
 
-    plan = _plan(entry.queries()["pip_boxes_equi"](spark, SF))
+    plan = _plan(entry._q_pip("equi")(spark, SF))
     arrow_pos = plan.index("ArrowEvalPython")
     below = plan[arrow_pos:]
     assert re.search(r"Filter [^\n]*39\.7", below), (
@@ -287,7 +287,7 @@ def test_asof_join_is_union_window_not_nested_loop(spark, entry):
 def test_within_radius_broadcasts_cap_covering_pages_never_shuffle(spark, entry):
     """The radius join is the containment-join cost model: covering dim
     broadcast, exact haversine native, pages side never exchanged."""
-    plan = _plan(entry.queries()["within_radius"](spark, SF))
+    plan = _plan(entry._q_within_radius("equi")(spark, SF))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "Exchange hashpartitioning" not in plan

@@ -23,9 +23,7 @@ QUERIES = E.queries()
 MIN_ROWS = {
     "s2_bitops": 400,
     "cell_decode": 400,
-    "pip_boxes_equi": 50,
-    "pip_boxes_range": 50,
-    "pip_boxes_salted": 50,
+    "pip_boxes": 150,  # 3 row-identical variant arms x ~50
     "pip_polygons": 20,
     "knn_pages": 30,
     "knn_join_bulk": 20,
@@ -41,29 +39,33 @@ MIN_ROWS = {
     "tile_topk_pages": 300,
     "events_by_cell": 250,
     "top_tiles": 20,
-    "jaccard_pairs": 10,
-    "jaccard_pairs_uncapped": 10,
+    "jaccard_pairs": 20,  # capped + uncapped arms
     "minhash_near_dups": 10,
     "simhash": 400,
     "ann_topk": 35,
-    "ivf_topk": 35,
-    "ivf_topk_bucketed": 35,
+    "ivf_topk": 70,  # recompute + bucketed arms
     "cosine_near_dups": 40,
     "sql_api": 400,
     "token_count": 400,
-    "within_radius": 60,
-    "within_radius_range": 60,
+    "within_radius": 120,  # equi + range arms
     "cell_union_normalize": 130,
-    "cell_union_intersect": 150,
-    "cell_union_difference": 280,
+    "cell_union_setalg": 430,  # intersect (~150) + difference (~280) arms
     "events_bloom_join": 110,
     "events_in_windows": 40,
     "cell_distinct_urls_hll": 150,
     "events_cell_quantiles_approx": 50,
     "dup_clusters": 400,
+    "dup_clusters_minhash": 400,
     "cc_pipeline": 100,
     "colocated_pairs": 250,
+    "cell_distinct_urls_hll_prod": 150,
 }
+
+# Queries with NO SQL oracle by design (the driver records a weaker
+# rows-only check): sketch estimates are engine-internal. Keep this set
+# minimal — every addition needs an in-repo value-exactness story (here:
+# cell_distinct_urls_hll bound-checks the identical sketch expression).
+ROWS_ONLY = {"cell_distinct_urls_hll_prod"}
 
 
 @pytest.mark.parametrize("name", sorted(ORACLES))
@@ -76,7 +78,26 @@ def test_query_matches_oracle_and_nonempty(spark, name):
 
 
 def test_every_query_has_an_oracle():
-    assert set(QUERIES) == set(ORACLES)
+    assert set(QUERIES) == set(ORACLES) | ROWS_ONLY
+    assert ROWS_ONLY.isdisjoint(ORACLES)
+
+
+@pytest.mark.parametrize("name", sorted(ROWS_ONLY))
+def test_rows_only_query_runs_and_meets_floor(spark, name):
+    n = QUERIES[name](spark, SF_CORRECT).count()
+    assert n >= MIN_ROWS.get(name, 1), f"{name}: only {n} rows at sf0.01"
+
+
+def test_registry_stays_under_driver_sweep_cap():
+    """The r3 driver artifact swept exactly the first 50 of 52 registry
+    entries, silently dropping the dict tail (round-3 verdict item 1).
+    Until the harness proves otherwise, 50 is the observed cap — keep
+    headroom so every entry gets a correctness row."""
+    assert len(QUERIES) <= 49, (
+        f"{len(QUERIES)} registry entries risks the observed 50-entry "
+        "driver sweep cap — merge row-identical variants (_union_variants) "
+        "instead of adding raw entries"
+    )
 
 
 def test_entry_smoke(spark):
@@ -88,5 +109,5 @@ def test_entry_smoke(spark):
 
 def test_queries_run_at_smoke_sf(spark):
     # a cheap spatial + a cheap text query also run at sf0.001
-    assert QUERIES["pip_boxes_equi"](spark, SF_SMOKE).count() > 0
+    assert E._q_pip("equi")(spark, SF_SMOKE).count() > 0
     assert QUERIES["token_count"](spark, SF_SMOKE).count() > 0
