@@ -799,32 +799,58 @@ def _q_events_in_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q_asof_clicks_views(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """AS-OF join (operators.asof.asof_join): each click event matched to
-    the SAME USER's most recent at-or-before view event (last-touch
-    attribution / point-in-time feature alignment). Spark has no native
-    ASOF JOIN — the operator is the union-merge window formulation (one
-    key shuffle, linear, no BNLJ); DuckDB DOES have one, and the oracle
-    uses it verbatim, so the operator is value-checked against a native
-    reference implementation. Views are pre-deduped per (user, ts) for
-    tie determinism."""
-    from s2cell_spark.operators.asof import asof_join
+def _q_asof_arm(chunked: bool):
+    """One as-of strategy arm: the plain union-merge window, or the
+    skew-safe time-chunked two-pass (operators.asof.asof_join_chunked,
+    round-3 verdict item 5 — a hot user's 10^8 events spread over
+    (key, time-chunk) window partitions instead of serializing one sort;
+    4x measured on the hot-key fixture, BENCH/SKEW.md)."""
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
-    views = (
-        ev.filter(F.col("event_type") == "view")
-        .groupBy("user_id", "ts")
-        .agg(F.min("event_id").alias("view_event_id"))
-    )
-    out = asof_join(clicks, views, on="user_id", ts_col="ts")
-    # timestampdiff handles TIMESTAMP_NTZ (unix_micros does not)
-    lag_us = F.expr("timestampdiff(MICROSECOND, r_ts, ts)")
-    return out.select(
-        F.col("event_id").cast("long").alias("event_id"),
-        F.col("user_id").cast("long").alias("user_id"),
-        F.col("r_view_event_id").cast("long").alias("view_event_id"),
-        lag_us.cast("long").alias("lag_us"),
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from s2cell_spark.operators.asof import asof_join, asof_join_chunked
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        clicks = ev.filter(F.col("event_type") == "click").select(
+            "event_id", "user_id", "ts"
+        )
+        views = (
+            ev.filter(F.col("event_type") == "view")
+            .groupBy("user_id", "ts")
+            .agg(F.min("event_id").alias("view_event_id"))
+        )
+        if chunked:
+            out = asof_join_chunked(
+                clicks, views, on="user_id", ts_col="ts", chunk_seconds=86400
+            )
+        else:
+            out = asof_join(clicks, views, on="user_id", ts_col="ts")
+        # timestampdiff handles TIMESTAMP_NTZ (unix_micros does not)
+        lag_us = F.expr("timestampdiff(MICROSECOND, r_ts, ts)")
+        return out.select(
+            F.col("event_id").cast("long").alias("event_id"),
+            F.col("user_id").cast("long").alias("user_id"),
+            F.col("r_view_event_id").cast("long").alias("view_event_id"),
+            lag_us.cast("long").alias("lag_us"),
+        )
+
+    return q
+
+
+def _q_asof_clicks_views(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join: each click event matched to the SAME USER's most
+    recent at-or-before view event (last-touch attribution /
+    point-in-time feature alignment). Spark has no native ASOF JOIN —
+    DuckDB DOES, and the oracle uses it verbatim, so both strategy arms
+    are value-checked against a native reference implementation. Views
+    are pre-deduped per (user, ts) for tie determinism. Two row-identical
+    arms per ``variant`` tag: ``window`` (union-merge window, one key
+    shuffle — the default) and ``chunked`` (skew-safe daily-chunk
+    two-pass with boundary carry-forward)."""
+    return _union_variants(
+        {
+            "window": _q_asof_arm(False)(spark, sf_dir),
+            "chunked": _q_asof_arm(True)(spark, sf_dir),
+        }
     )
 
 
@@ -2582,7 +2608,9 @@ def oracle_sql() -> dict[str, str]:
         "events_by_cell": _events_by_cell_oracle(),
         "events_bloom_join": _events_bloom_join_oracle(),
         "events_in_windows": _events_in_windows_oracle(),
-        "asof_clicks_views": _asof_oracle(),
+        "asof_clicks_views": _variant_oracle(
+            {"window": _asof_oracle(), "chunked": _asof_oracle()}
+        ),
         "user_sessions": _sessions_oracle(),
         "events_cell_quantiles": _cell_quantiles_oracle(),
         "events_cell_quantiles_approx": _cell_quantiles_approx_oracle(),

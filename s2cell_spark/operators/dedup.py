@@ -240,20 +240,21 @@ def minhash_signatures(
     return sh.groupBy("doc").agg(*mins)
 
 
-def minhash_lsh_candidates(
+def minhash_banded(
     docs: DataFrame,
     num_perm: int = 64,
     bands: int = 16,
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """Candidate near-dup pairs via LSH banding: equal signature slice in
-    any band -> candidate. One explode (x bands, constant factor) + one
-    equi-join on (band, bucket) — scales linearly, no all-pairs term. The
-    bucket key is the slice's comma-joined decimal string (engine-portable,
-    unlike a murmur hash)."""
+    """(doc, band, bucket) LSH banding rows — the per-doc state an
+    INCREMENTAL dedup pipeline persists between micro-batches (see
+    streaming.dedupstream): a new doc's candidates are one equi-join of
+    its banding rows against this table, never a recompute of the corpus.
+    The bucket key is the signature slice's comma-joined decimal string
+    (engine-portable, unlike a murmur hash)."""
     rows_per_band = num_perm // bands
     sig = minhash_signatures(docs, num_perm, id_col)
-    banded = sig.select(
+    return sig.select(
         "doc",
         F.explode(
             F.array(
@@ -273,6 +274,18 @@ def minhash_lsh_candidates(
             )
         ).alias("bb"),
     ).select("doc", "bb.band", "bb.bucket")
+
+
+def minhash_lsh_candidates(
+    docs: DataFrame,
+    num_perm: int = 64,
+    bands: int = 16,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Candidate near-dup pairs via LSH banding: equal signature slice in
+    any band -> candidate. One explode (x bands, constant factor) + one
+    equi-join on (band, bucket) — scales linearly, no all-pairs term."""
+    banded = minhash_banded(docs, num_perm, bands, id_col)
     a = banded.alias("a")
     b = banded.alias("b")
     return (

@@ -1688,3 +1688,117 @@ def test_streaming_sessions_out_of_order_beyond_gap_splits(spark, tmp_path):
     assert (1, m(10), m(10), 1) in batch  # fixture sanity: batch splits it
     assert (2, m(85), m(110), 3) in batch  # ...and merges this one
     assert got == batch
+
+
+def test_asof_join_chunked_row_identical_randomized(spark):
+    """Skew-safe chunked as-of == plain as-of, row for row, across chunk
+    widths that exercise every carry shape: chunks narrower than typical
+    right-row gaps (carry-in crosses MANY empty chunks), chunks wider
+    than the whole range (degenerates to one chunk), and a mid width.
+    Includes keys absent from the right side and tolerance_ms."""
+    from s2cell_spark.operators.asof import asof_join, asof_join_chunked
+
+    rng = np.random.default_rng(77)
+    base = pd.Timestamp("2024-06-01")
+    lpdf = pd.DataFrame(
+        {
+            "event_id": np.arange(200, dtype=np.int64),
+            "k": rng.integers(0, 10, 200),
+            "ts": base + pd.to_timedelta(rng.integers(0, 86400, 200), unit="s"),
+        }
+    )
+    rpdf = pd.DataFrame(
+        {
+            # keys 7-9 never appear on the right side
+            "k": rng.integers(0, 7, 60),
+            "ts": base + pd.to_timedelta(rng.integers(0, 86400, 60), unit="s"),
+            "snap": np.arange(60, dtype=np.int64) * 10,
+        }
+    ).drop_duplicates(["k", "ts"])
+    L = spark.createDataFrame(lpdf, "event_id long, k long, ts timestamp")
+    R = spark.createDataFrame(rpdf, "k long, ts timestamp, snap long")
+
+    def rows(df):
+        return {
+            (r["event_id"], r["r_ts"], r["r_snap"]) for r in df.collect()
+        }
+
+    for tol in (None, 3 * 3600 * 1000):
+        want = rows(asof_join(L, R, on="k", ts_col="ts", tolerance_ms=tol))
+        for chunk_s in (60, 3600, 7 * 86400):
+            got = rows(
+                asof_join_chunked(
+                    L, R, on="k", ts_col="ts",
+                    chunk_seconds=chunk_s, tolerance_ms=tol,
+                )
+            )
+            assert got == want, (chunk_s, tol)
+
+
+def test_asof_join_chunked_ntz_timestamps(spark):
+    """events.ts is TIMESTAMP_NTZ: the chunk derivation and the tolerance
+    path must both be NTZ-safe (timestampdiff, never cast-to-double)."""
+    from datetime import datetime
+
+    from s2cell_spark.operators.asof import asof_join, asof_join_chunked
+
+    L = spark.createDataFrame(
+        [
+            (1, 10, datetime(2024, 1, 1, 10, 0, 0)),
+            (2, 10, datetime(2024, 1, 2, 12, 0, 0)),
+            (3, 20, datetime(2024, 1, 1, 9, 0, 0)),
+        ],
+        "event_id long, user_id long, ts timestamp_ntz",
+    )
+    R = spark.createDataFrame(
+        [
+            (10, datetime(2024, 1, 1, 9, 55, 0), 100),
+            (10, datetime(2024, 1, 2, 11, 0, 0), 101),
+        ],
+        "user_id long, ts timestamp_ntz, snap long",
+    )
+    want = {
+        (r["event_id"], r["r_snap"])
+        for r in asof_join(
+            L, R, on="user_id", ts_col="ts", tolerance_ms=2 * 3600 * 1000
+        ).collect()
+    }
+    got = {
+        (r["event_id"], r["r_snap"])
+        for r in asof_join_chunked(
+            L, R, on="user_id", ts_col="ts",
+            chunk_seconds=3600, tolerance_ms=2 * 3600 * 1000,
+        ).collect()
+    }
+    assert got == want == {(1, 100), (2, 101), (3, None)}
+
+
+def test_asof_join_null_payload_field_not_resurrected(spark):
+    """ASOF semantics are row-atomic: when the matched right row has a
+    legitimately-NULL payload field, the output must carry that NULL —
+    not resurrect an OLDER right row's non-null value for the field.
+    (Per-column independent last(ignorenulls) carries get this wrong;
+    the struct carry is the fix.) Pinned for both as-of forms."""
+    from datetime import datetime
+
+    from s2cell_spark.operators.asof import asof_join, asof_join_chunked
+
+    L = spark.createDataFrame(
+        [(1, 10, datetime(2024, 1, 1, 12, 0, 0))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    R = spark.createDataFrame(
+        [
+            (10, datetime(2024, 1, 1, 9, 0, 0), 100, "old"),
+            (10, datetime(2024, 1, 1, 11, 0, 0), None, "new"),
+        ],
+        "user_id long, ts timestamp, snap long, tag string",
+    )
+    for f in (
+        lambda: asof_join(L, R, on="user_id", ts_col="ts"),
+        lambda: asof_join_chunked(
+            L, R, on="user_id", ts_col="ts", chunk_seconds=1800
+        ),
+    ):
+        r = f().collect()[0]
+        assert r["r_tag"] == "new" and r["r_snap"] is None

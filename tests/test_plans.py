@@ -274,7 +274,7 @@ def test_asof_join_is_union_window_not_nested_loop(spark, entry):
     join operator at all in the plan (a non-equi ts-range join would plan
     as BroadcastNestedLoopJoin — O(|l| x |r|) per key), exactly one
     key-hash Exchange feeding the window sort."""
-    plan = _plan(entry.queries()["asof_clicks_views"](spark, SF))
+    plan = _plan(entry._q_asof_arm(False)(spark, SF))
     assert "NestedLoop" not in plan
     assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
     assert "Window" in plan and "Union" in plan
@@ -282,6 +282,12 @@ def test_asof_join_is_union_window_not_nested_loop(spark, entry):
     # (partial+final around its own exchange) and the operator's single
     # union shuffle feeding the window sort — nothing else
     assert plan.count("Exchange hashpartitioning") == 2
+    # the chunked arm trades that for (key, chunk)-hash partitions: its
+    # windows must partition on BOTH columns (the skew mitigation), and
+    # the non-equi ts conjunct must still never plan a nested loop
+    cplan = _plan(entry._q_asof_arm(True)(spark, SF))
+    assert "NestedLoop" not in cplan
+    assert "_chunk" in cplan and "Window" in cplan
 
 
 def test_within_radius_broadcasts_cap_covering_pages_never_shuffle(spark, entry):
