@@ -1329,6 +1329,47 @@ def _q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split + per-split corpus stats
+    (operators.sampling.hash_split): 90/5/5 assignment from the 31-bit
+    md5-prefix hash of (doc_id, salt) — pure map-only projection, no
+    shuffle beyond the 3-group rollup, stable under re-runs/appends/
+    re-partitioning (the reason ``df.sample``/``rand()`` are wrong for
+    splits). The oracle re-derives the same hash and thresholds in
+    DuckDB, so the ASSIGNMENT (not just the sizes) is value-checked via
+    the per-split token/char sums."""
+    from s2cell_spark.operators.dedup import words_col
+    from s2cell_spark.operators.sampling import hash_split
+
+    docs = hash_split(
+        _load_docs(spark, sf_dir),
+        {"train": 9000, "val": 500, "test": 500},
+        salt="r4",
+    )
+    return docs.groupBy("split").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.sum(F.size(words_col()).cast("long")).cast("long").alias("sum_tokens"),
+        F.sum(F.col("n_chars").cast("long")).cast("long").alias("sum_chars"),
+    )
+
+
+def _train_split_oracle() -> str:
+    return f"""WITH s AS (
+  SELECT *,
+         (CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), ':r4')), 1, 8)) AS BIGINT)
+          & 2147483647) % 10000 AS b
+  FROM documents
+)
+SELECT CASE WHEN b < 9000 THEN 'train' WHEN b < 9500 THEN 'val' ELSE 'test' END AS split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(sum(len({_WORDS})) AS BIGINT) AS sum_tokens,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM s GROUP BY 1
+"""
+
+
 def _q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from s2cell_spark.operators.textstats import quality_score
 
@@ -1502,6 +1543,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": _q_simhash,
         "doc_fingerprint": _q_fingerprint,
         "token_count": _q_token_count,
+        "train_split": _q_train_split,
         "quality_score": _q_quality,
         "lang_id": _q_lang_id,
         "ann_topk": _q_ann_topk,
@@ -2636,6 +2678,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash": _simhash_oracle(),
         "doc_fingerprint": _fingerprint_oracle(),
         "token_count": _token_count_oracle(),
+        "train_split": _train_split_oracle(),
         "quality_score": _quality_oracle(),
         "lang_id": _lang_oracle(),
         "ann_topk": _ann_oracle(),

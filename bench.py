@@ -64,6 +64,7 @@ HEADLINE = [
     "simhash",
     "doc_fingerprint",
     "token_count",
+    "train_split",
     "quality_score",
     "lang_id",
     "ann_topk",
@@ -119,14 +120,19 @@ def run_skew() -> None:
        engine ships the naive window + a plan regression test);
     2. shuffle equi-join (broadcast disabled): plain join vs
        operators.skewjoin.salted_equi_join — no native mitigation with
-       AQE off, so salting should WIN.
+       AQE off, so salting should WIN;
+    3. as-of join (round-4): plain union-merge window (hot key -> ONE
+       task sorts 90% of both sides) vs operators.asof.asof_join_chunked
+       (time-chunked partitions + boundary carry-forward) — chunking
+       should WIN on the hot key.
 
-    Writes BENCH/SKEW.md with both results."""
+    Writes BENCH/SKEW.md with all results."""
     import time as _t
 
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
+    from s2cell_spark.operators.asof import asof_join, asof_join_chunked
     from s2cell_spark.operators.skewjoin import salted_equi_join
 
     spark = make_spark(CPUS)
@@ -180,6 +186,45 @@ def run_skew() -> None:
     def join_salted() -> int:
         return join_agg(salted_equi_join(df, dim, "key", num_salts=64))
 
+    # --- as-of fixture: same 90%-one-key shape, timestamps over 30 days.
+    # n/4 left events (the plain arm single-task-sorts 90% of them);
+    # right snapshots get globally-unique ts (id*5 < span) so the
+    # "unique per (key, ts)" asof contract holds by construction.
+    span = 30 * 86400
+    n_asof = max(n // 4, 1_000_000)
+    n_snap = min(500_000, span // 5 - 1)
+    epoch = 1_700_000_000
+    akey = (
+        F.when(F.col("id") % 10 < 9, F.lit("hot"))
+        .otherwise(F.concat(F.lit("k"), (F.col("id") % 1024).cast("string")))
+        .alias("key")
+    )
+    aleft = spark.range(n_asof).select(
+        akey,
+        F.timestamp_seconds((F.col("id") * 7919) % span + epoch).alias("ts"),
+        F.col("id").alias("event_id"),
+    )
+    aright = spark.range(n_snap).select(
+        akey,
+        F.timestamp_seconds(F.col("id") * 5 + epoch).alias("ts"),
+        (F.col("id") * 7).alias("snap"),
+    )
+
+    def asof_agg(joined) -> int:
+        return joined.agg(
+            F.sum(F.coalesce(F.col("r_snap"), F.lit(0))) + F.count("*")
+        ).collect()[0][0]
+
+    def asof_plain() -> int:
+        return asof_agg(asof_join(aleft, aright, on="key", ts_col="ts"))
+
+    def asof_chunked() -> int:
+        # 6-hour chunks: the 30-day hot key spreads over ~120 window
+        # partitions instead of serializing one 14M-row sort
+        return asof_agg(
+            asof_join_chunked(aleft, aright, on="key", ts_col="ts", chunk_seconds=21600)
+        )
+
     old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # dim too big to broadcast at 10^12-pages scale
     try:
@@ -191,6 +236,8 @@ def run_skew() -> None:
             "window_hand_salted": win_salted,
             "join_plain": join_plain,
             "join_salted": join_salted,
+            "asof_plain": asof_plain,
+            "asof_chunked": asof_chunked,
         }
         results: dict[str, dict] = {}
         for fn in cases.values():
@@ -204,16 +251,22 @@ def run_skew() -> None:
                     results[name] = {"sec": sec, "out": out_v}
         assert results["window_naive"]["out"] == results["window_hand_salted"]["out"]
         assert results["join_plain"]["out"] == results["join_salted"]["out"]
+        assert results["asof_plain"]["out"] == results["asof_chunked"]["out"]
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
     join_speedup = round(results["join_plain"]["sec"] / results["join_salted"]["sec"], 2)
     win_ratio = round(results["window_naive"]["sec"] / results["window_hand_salted"]["sec"], 2)
+    asof_speedup = round(results["asof_plain"]["sec"] / results["asof_chunked"]["sec"], 2)
     out = {
         "metric": "hot-key skew wall sec (90% single-key fixture)",
         "value": results["join_salted"]["sec"],
         "unit": "sec",
         "queries": {f"skew_{k_}_sec": v["sec"] for k_, v in results.items()}
-        | {"skew_join_salted_speedup": join_speedup, "skew_window_salting_ratio": win_ratio},
+        | {
+            "skew_join_salted_speedup": join_speedup,
+            "skew_window_salting_ratio": win_ratio,
+            "skew_asof_chunked_speedup": asof_speedup,
+        },
         "sf": f"synthetic {n} rows",
     }
     print(json.dumps(out))
@@ -254,6 +307,30 @@ window and PINS the WindowGroupLimit plan shape in
 tests/test_plans.py::test_tile_topk_window_has_partial_group_limit.
 (count/countDistinct aggregates are likewise natively two-phased — see
 the plan shown in cell_distinct_urls' docstring.)
+
+## As-of join on the hot key — time-chunking WINS ({asof_speedup}x)
+
+Fixture: {n_asof:,} left events / {n_snap:,} right snapshots over 30
+days, same 90%-one-key shape. The plain union-merge as-of window
+partitions on the key alone, so the hot key serializes ONE task sorting
+90% of both sides ({int(n_asof * 0.9):,} rows).
+
+| plan | wall sec |
+|---|---|
+| `asof.asof_join` (one window partition per key) | {results["asof_plain"]["sec"]} |
+| `asof.asof_join_chunked` (6 h chunks + boundary carry-forward) | {results["asof_chunked"]["sec"]} |
+
+Identical aggregate over the join output (asserted here); row-level
+identity across chunk widths, tolerance, and NTZ timestamps is
+unit-tested (tests/test_operators.py::test_asof_join_chunked_*). The
+chunked form partitions the window on (key, 6-hour-chunk) and
+reconstructs cross-chunk carry from a per-(key, chunk) summary table
+(metadata scale: one row per distinct pair), so a 10^8-event hot key
+becomes range/chunk independent tasks instead of one sort. Pick
+chunk_seconds so the densest chunk fits a task. On UNskewed keys the
+extra summary aggregate + co-partitioned join costs ~the difference you
+see here inverted on a uniform fixture — use the plain form unless a
+key can plausibly go hot.
 
 Reproduce: `python bench.py --skew` (env: SPARK_GRAFT_SKEW_ROWS,
 SPARK_GRAFT_SKEW_RUNS, SPARK_GRAFT_CPUS).
@@ -300,7 +377,9 @@ def run_default() -> None:
     # rollup) over the INFLATED at-rest pages table — the raw sf table is
     # small enough that fixed per-query overhead, not the engine, would be
     # what's measured. Same job as `--scaling` (shared _make_throughput_job).
-    spark.conf.set("spark.sql.files.maxPartitionBytes", str(8 * 1024 * 1024))
+    spark.conf.set(
+        "spark.sql.files.maxPartitionBytes", str(_THROUGHPUT_MPB)
+    )
     repeat = int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "2000"))
     path, total_pages = _materialize_bench_input(spark, repeat)
     throughput_job = _make_throughput_job(spark, path)
@@ -339,6 +418,7 @@ TEXTSCALE = [
     "simhash",
     "doc_fingerprint",
     "token_count",
+    "train_split",
     "quality_score",
     "lang_id",
     "ann_topk",
@@ -546,6 +626,22 @@ SPARK_GRAFT_BENCH_PASSES, SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS).
     spark.stop()
 
 
+# Partition sizing for the throughput job's scan (round-4 root-cause of
+# the r2->r3 "throughput regression", BENCH/MICRO.md): the old 8 MB
+# setting split the 1.2 GB inflated table into 160 tasks, and a Python-
+# UDF-bearing stage pays ~100 ms of FIXED cost per task (worker dispatch,
+# Arrow stream setup, parquet reader open) — 160 tasks of ~70k rows were
+# pure overhead amortization failure. The input is materialized as 32
+# equal files (~37 MB each) and scanned at 64 MB maxPartitionBytes -> 32
+# partitions at every ladder level: one task per core at local[32], the
+# same fixed layout at 2/8 cores (16/4 waves). Measured interleaved
+# same-session: 4.6M -> 7.8M pages/s. The 100 TB lesson generalizes:
+# size UDF-stage partitions to >= tens of MB so per-task fixed costs
+# vanish; never hand the scheduler confetti.
+_THROUGHPUT_MPB = 64 * 1024 * 1024
+_THROUGHPUT_FILES = 32
+
+
 def _make_throughput_job(spark, path: str):
     """THE north-rule job, shared verbatim by default-mode throughput and
     the --scaling ladder (so their pages/sec are the same metric): scan
@@ -564,12 +660,14 @@ def _make_throughput_job(spark, path: str):
     )
     from s2cell_spark.sources.pages import with_cell_id
 
-    # the throughput job's UDF input is (lat, lon) doubles — 16 B/row — so
-    # a 512k-row Arrow batch is ~8 MB and amortizes the per-batch
-    # Arrow/pandas overhead (~measured +30-40% pages/s vs 64k rows). The
-    # session default stays 64k because TEXT-carrying UDF paths at 1 KB+
-    # per row would blow executor memory at 512k rows/batch.
-    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "524288")
+    # Arrow batch 128k: with the one-wave 37 MB partitions (see
+    # _THROUGHPUT_MPB) the r2-era 512k choice no longer wins — the
+    # interleaved sweep (BENCH/MICRO.md, round 4) has a flat optimum
+    # across 64k-256k at 40-56 MB partitions, and 512k measured ~2%
+    # slower than 128k. 128k keeps per-batch overhead amortized (~2 MB
+    # of (lat, lon) doubles) without the memory spike of half-million-row
+    # batches. The SESSION default stays 64k for text-carrying UDF paths.
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "131072")
     cov_df = normalized_coverings_df(spark, E._box_regions(), 10).cache()
     cov_df.count()
 
@@ -598,7 +696,7 @@ def _materialize_bench_input(spark, repeat: int) -> tuple[str, int]:
     from s2cell_spark.sources.pages import load_pages
 
     tag = SF_DIR.strip("/").replace("/", "_")
-    path = f"/tmp/s2bench_pages_{tag}_x{repeat}"
+    path = f"/tmp/s2bench_pages_{tag}_x{repeat}_p{_THROUGHPUT_FILES}"
     marker = Path(path) / "_SUCCESS"
     base = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
     if not marker.exists():
@@ -607,7 +705,7 @@ def _materialize_bench_input(spark, repeat: int) -> tuple[str, int]:
             .crossJoin(spark.range(repeat).withColumnRenamed("id", "rep"))
             .withColumn("doc_id", F.col("doc_id") * repeat + F.col("rep"))
             .drop("rep")
-            .repartition(64)
+            .repartition(_THROUGHPUT_FILES)
             .write.mode("overwrite")
             .parquet(path)
         )
@@ -622,10 +720,7 @@ def run_throughput_once(cores: int) -> None:
     from s2cell_spark import functions as S2F
 
     spark = make_spark(cores)
-    # split the scan fine enough that every core gets several tasks — the
-    # inflated table is only a few hundred MB, and the default 128MB
-    # maxPartitionBytes would coalesce it to a handful of partitions
-    spark.conf.set("spark.sql.files.maxPartitionBytes", str(8 * 1024 * 1024))
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(_THROUGHPUT_MPB))
     spark.sparkContext.setLogLevel("ERROR")
     repeat = int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "2000"))
     path, total_pages = _materialize_bench_input(spark, repeat)
@@ -701,6 +796,18 @@ def run_scaling() -> None:
     ladder = tuple(
         int(x) for x in os.environ.get("SPARK_GRAFT_SCALING_PAIR", "2,8,32").split(",")
     )
+    # The ladder inflates the input 8x beyond the default bench (16000 vs
+    # 2000 replication, ~80M pages): after the round-4 partition-sizing
+    # fix the job runs ~1.3 s at local[32] on the x2000 input, and at
+    # that wall the ~0.5-1 s per-job fixed cost (submit, broadcast,
+    # wave scheduling, collect) — NOT the engine — is what a scaling
+    # ratio would measure. ~10 s+ walls at the top level make the ratio
+    # about the plan again. A real 100 TB job is hours long; the ladder
+    # must be in the fixed-cost-free regime to say anything about it.
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_BENCH_REPEAT=os.environ.get("SPARK_GRAFT_SCALING_REPEAT", "16000"),
+    )
     results: dict[int, dict] = {}
     for _ in range(rounds):
         for cores in ladder:
@@ -710,6 +817,7 @@ def run_scaling() -> None:
                 text=True,
                 cwd=str(REPO),
                 timeout=1800,
+                env=env,
             )
             line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
             r = json.loads(line)
@@ -736,10 +844,12 @@ def run_scaling() -> None:
         "detail": results,
     }
     print(json.dumps(out))
-    _write_bench_md(results, pairs, ladder, ceilings)
+    _write_bench_md(results, pairs, ladder, ceilings, env["SPARK_GRAFT_BENCH_REPEAT"])
 
 
-def _write_bench_md(results: dict, pairs: list, ladder: tuple, ceilings: dict) -> None:
+def _write_bench_md(
+    results: dict, pairs: list, ladder: tuple, ceilings: dict, repeat: str
+) -> None:
     level_rows = "\n".join(
         f"| local[{c}] | {results[c]['wall_sec']} | {results[c]['pages_per_sec']:,} |"
         for c in ladder
@@ -771,7 +881,7 @@ parallelism levels — the sandbox proxy for N vs 4N executors.
 Job: pages scan -> deterministic geotag -> vectorized S2 encode (level-30
 cell IDs via Arrow pandas UDF) -> broadcast covering containment join vs
 the 6 PIP boxes -> exact rect filter -> level-8 cell rollup.
-Input: {SF_DIR} documents x{os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "2000")} replication
+Input: {SF_DIR} documents x{repeat} replication
 = {results[ladder[-1]]["n_pages"]:,} pages (materialized parquet, untimed).
 Methodology: each level in a fresh subprocess; python workers pre-warmed;
 one untimed warm pass then {os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")} timed runs averaged; levels interleaved

@@ -1802,3 +1802,44 @@ def test_asof_join_null_payload_field_not_resurrected(spark):
     ):
         r = f().collect()[0]
         assert r["r_tag"] == "new" and r["r_snap"] is None
+
+
+def test_hash_split_partition_invariant_and_exhaustive(spark):
+    """Split assignment is a pure function of (id, salt): disjoint +
+    exhaustive over the bucket space, identical under any physical
+    layout, ~matching the requested proportions, and re-rolled by the
+    salt. df.sample/rand() pass none of these."""
+    import pytest as _pytest
+
+    from s2cell_spark.operators.sampling import (
+        deterministic_sample,
+        hash_split,
+    )
+
+    df = spark.range(5000).withColumnRenamed("id", "doc_id")
+    splits = {"train": 9000, "val": 500, "test": 500}
+    a = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(df.repartition(7), splits).collect()
+    }
+    b = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(df.coalesce(1), splits).collect()
+    }
+    assert a == b and len(a) == 5000  # exhaustive: every row labeled
+    from collections import Counter
+
+    c = Counter(a.values())
+    assert abs(c["train"] - 4500) < 150 and abs(c["val"] - 250) < 80
+    # sampling: nested rates, subset semantics, salt independence
+    s5 = {r["doc_id"] for r in deterministic_sample(df, 500).collect()}
+    s10 = {r["doc_id"] for r in deterministic_sample(df, 1000).collect()}
+    assert s5 <= s10 and abs(len(s10) - 500) < 80
+    salted = {
+        r["doc_id"] for r in deterministic_sample(df, 1000, salt="v2").collect()
+    }
+    assert salted != s10 and abs(len(salted) - 500) < 80
+    with _pytest.raises(ValueError):
+        hash_split(df, {"train": 9000, "val": 500})
+    with _pytest.raises(ValueError):
+        deterministic_sample(df, 10001)

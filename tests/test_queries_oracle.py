@@ -33,7 +33,8 @@ MIN_ROWS = {
     "cell_hour_counts": 200,
     "cell_distinct_urls": 150,
     "supplier_cell_revenue": 40,
-    "asof_clicks_views": 200,
+    "asof_clicks_views": 400,  # window + chunked arms x ~200
+    "train_split": 3,  # exactly train/val/test
     "user_sessions": 100,
     "events_cell_quantiles": 100,
     "tile_topk_pages": 300,
