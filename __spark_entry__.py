@@ -1261,6 +1261,20 @@ def _q_dup_clusters_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _cluster_labels_out(docs, pairs)
 
 
+def _q_dup_clusters_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both cluster edge derivations — capped exact Jaccard and the
+    production MinHash-LSH candidates — through the same star-alternation
+    components; one arm per ``variant`` tag (was dup_clusters /
+    dup_clusters_minhash through the r4 restructure). Each arm
+    hash-compares against its own recursive-CTE closure oracle."""
+    return _union_variants(
+        {
+            "jaccard": _q_dup_clusters(spark, sf_dir),
+            "minhash": _q_dup_clusters_minhash(spark, sf_dir),
+        }
+    )
+
+
 def _q_jaccard_uncapped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT-MODE variant: full-set Jaccard, no document-frequency cap.
     The pair unfold is O(DF^2) per shingle — correct and exact, but NOT
@@ -1354,6 +1368,43 @@ def _q_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_train_split_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-language quotas (operators.sampling.stratified_split):
+    every lang splits exactly floor(n_lang*bp/10000) per class, assigned
+    by distributed hash rank — bucket counts + driver prefix-sum +
+    per-(lang, range-bucket) row_number, so no stratum ever serializes
+    through one window partition. The oracle re-derives the per-lang
+    rank with a plain window (fine at oracle SF — the decomposition
+    exists for the 10^12-doc engine side, the semantics are identical)."""
+    from s2cell_spark.operators.dedup import words_col
+    from s2cell_spark.operators.sampling import stratified_split
+
+    docs = stratified_split(
+        _load_docs(spark, sf_dir),
+        {"train": 9000, "val": 500, "test": 500},
+        strata_col="lang",
+        salt="r4",
+    )
+    return docs.groupBy("split").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.sum(F.size(words_col()).cast("long")).cast("long").alias("sum_tokens"),
+        F.sum(F.col("n_chars").cast("long")).cast("long").alias("sum_chars"),
+    )
+
+
+def _q_train_split_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both split strategies — corpus-level hash split (map-only,
+    append-stable) and exact-quota per-language stratified split — one
+    arm per ``variant`` tag, each against its own oracle derivation."""
+    return _union_variants(
+        {
+            "hash": _q_train_split(spark, sf_dir),
+            "stratified": _q_train_split_stratified(spark, sf_dir),
+        }
+    )
+
+
 def _train_split_oracle() -> str:
     return f"""WITH s AS (
   SELECT *,
@@ -1367,6 +1418,125 @@ SELECT CASE WHEN b < 9000 THEN 'train' WHEN b < 9500 THEN 'val' ELSE 'test' END 
        CAST(sum(len({_WORDS})) AS BIGINT) AS sum_tokens,
        CAST(sum(n_chars) AS BIGINT) AS sum_chars
 FROM s GROUP BY 1
+"""
+
+
+def _train_split_stratified_oracle() -> str:
+    """Oracle twin of ``sampling.stratified_split``: the per-stratum rank
+    is a plain window (fine at oracle SF; the engine's bucket+prefix-sum
+    decomposition computes the IDENTICAL rank, it only parallelizes it),
+    with the same (hash, doc_id) tiebreak and floor-quota thresholds."""
+    return """WITH s AS (
+  SELECT *,
+         (CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), ':r4')), 1, 8)) AS BIGINT)
+          & 2147483647) AS h
+  FROM documents
+),
+r AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) - 1 AS rnk,
+         count(*) OVER (PARTITION BY lang) AS n_g
+  FROM s
+),
+labeled AS (
+  SELECT *,
+         CASE WHEN rnk < (n_g * 9000) // 10000 THEN 'train'
+              WHEN rnk < (n_g * 9500) // 10000 THEN 'val'
+              ELSE 'test' END AS split
+  FROM r
+)
+SELECT split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(sum(len({W})) AS BIGINT) AS sum_tokens,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM labeled GROUP BY 1
+""".replace("{W}", _WORDS)
+
+
+def _contamination_oracle() -> str:
+    """Full re-derivation of ``operators.contamination``: the identical
+    hash split (salt r4), per-train-doc DISTINCT 3-gram shingle sets,
+    the test split's global distinct shingle set, and the overlap
+    rollup in basis points (integer-exact on both engines)."""
+    sh = "unnest(list_transform(range(1, len(ws)-1), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))"
+    return f"""WITH s AS (
+  SELECT *,
+         (CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), ':r4')), 1, 8)) AS BIGINT)
+          & 2147483647) % 10000 AS b
+  FROM documents
+),
+trw AS (SELECT doc_id AS doc, {_WORDS} AS ws FROM s WHERE b < 9000),
+tew AS (SELECT doc_id AS doc, {_WORDS} AS ws FROM s WHERE b >= 9500),
+trsh AS (SELECT DISTINCT doc, {sh} AS sg FROM trw WHERE len(ws) >= 3),
+besh AS (SELECT DISTINCT {sh} AS sg FROM tew WHERE len(ws) >= 3),
+sz AS (SELECT doc, CAST(count(*) AS BIGINT) AS n_shingles FROM trsh GROUP BY doc),
+m AS (
+  SELECT t.doc, CAST(count(*) AS BIGINT) AS n_matched
+  FROM trsh t JOIN besh USING (sg) GROUP BY t.doc
+)
+SELECT CAST(m.doc AS BIGINT) AS doc_id,
+       sz.n_shingles,
+       m.n_matched,
+       CAST((10000 * m.n_matched) // sz.n_shingles AS BIGINT) AS contam_bp,
+       ((10000 * m.n_matched) // sz.n_shingles >= {CONTAM_THRESHOLD_BP}) AS contaminated
+FROM m JOIN sz USING (doc)
+"""
+
+
+def _spatial_clusters_oracle() -> str:
+    """Independent grid-DBSCAN re-derivation: pages -> leaf IJ (SQL trig
+    + Hilbert rounds, the neighbors_interior machinery) -> level-L corner
+    rollup -> density filter -> interior filter -> +i/+j adjacency probes
+    -> recursive-CTE transitive closure over cell tokens (min-token
+    label, the dup_clusters closure pattern on VARCHAR nodes)."""
+    from s2cell_spark.functions import hilbert_sql as H
+
+    size = 1 << (30 - SPATIAL_LEVEL)
+    top = (1 << 30) - size
+    tok = H.token_sql(H.truncate_sql(SPATIAL_LEVEL))
+    pages_recursive = _PAGES_CTE.replace("WITH ", "WITH RECURSIVE ", 1)
+    return f"""{pages_recursive},
+{H.leaf_bits_cte(source="pages", max_level=SPATIAL_LEVEL)},
+cells AS (
+  SELECT {tok} AS cell_token, x.face, x.i & -{size} AS ci, x.j & -{size} AS cj
+  FROM s2enc e JOIN s2ij x USING (doc_id)
+),
+dense AS (
+  SELECT cell_token, face, ci, cj, CAST(count(*) AS BIGINT) AS n_pages
+  FROM cells GROUP BY 1, 2, 3, 4
+  HAVING count(*) >= {SPATIAL_MIN_PAGES}
+),
+interior AS MATERIALIZED (
+  -- MATERIALIZED is load-bearing: DuckDB inlines plain CTEs per
+  -- reference, and interior is referenced 5x downstream (adj twice,
+  -- edges doubling that, the final join) — inlining replicates the
+  -- whole Hilbert-encode chain (with the 1024-row lookup VALUES) 2^k
+  -- times and the planner OOMs. Materializing the 35-row waist cuts it.
+  SELECT * FROM dense
+  WHERE ci >= {size} AND ci < {top} AND cj >= {size} AND cj < {top}
+),
+adj AS (
+  SELECT a.cell_token AS u, b.cell_token AS v
+  FROM interior a JOIN interior b
+    ON a.face = b.face AND a.ci + {size} = b.ci AND a.cj = b.cj
+  UNION ALL
+  SELECT a.cell_token, b.cell_token
+  FROM interior a JOIN interior b
+    ON a.face = b.face AND a.ci = b.ci AND a.cj + {size} = b.cj
+),
+edges AS (SELECT u, v FROM adj UNION SELECT v, u FROM adj),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+),
+labels AS (SELECT u AS tok, least(u, min(v)) AS cluster FROM reach GROUP BY u)
+SELECT d.cell_token,
+       coalesce(l.cluster, d.cell_token) AS cluster_token,
+       d.n_pages,
+       (coalesce(l.cluster, d.cell_token) = d.cell_token) AS is_seed
+FROM interior d LEFT JOIN labels l ON l.tok = d.cell_token
 """
 
 
@@ -1453,15 +1623,18 @@ def _q_ivf_topk_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q_ivf_all(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Both IVF probe paths — assignment recomputed per probe, and the
-    build-once bucketed index (bucket-pruned scan, no assignment UDF) —
-    one row-identical arm per ``variant`` tag (was ivf_topk /
-    ivf_topk_bucketed through round 3)."""
+def _q_ann_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANN family under one entry (r4 restructure; was ann_topk +
+    ivf_topk): exact brute-force cosine top-k, IVF with per-probe
+    assignment, and IVF over the build-once bucketed index
+    (bucket-pruned scan, no assignment UDF). The brute arm compares
+    against the exact oracle; both IVF arms against the IVF oracle —
+    per-arm oracles, not row-identical replicas."""
     return _union_variants(
         {
-            "recompute": _q_ivf_topk(spark, sf_dir),
-            "bucketed": _q_ivf_topk_bucketed(spark, sf_dir),
+            "brute": _q_ann_topk(spark, sf_dir),
+            "ivf_recompute": _q_ivf_topk(spark, sf_dir),
+            "ivf_bucketed": _q_ivf_topk_bucketed(spark, sf_dir),
         }
     )
 
@@ -1500,6 +1673,60 @@ def _q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CONTAM_THRESHOLD_BP = 2000
+SPATIAL_LEVEL = 7
+SPATIAL_MIN_PAGES = 3
+
+
+def _q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination report (operators.contamination): the
+    held-out `test` split of the r4 hash split is the benchmark; every
+    `train` doc sharing >= 1 distinct 3-gram shingle with it is reported
+    with its overlap fraction in basis points and a drop flag at
+    {CONTAM_THRESHOLD_BP} bp. Corpus side is map-only into a broadcast
+    semi-probe (bench shingles pass the plan-stats gate); the one
+    exchange is the per-doc matched-count rollup. Oracle: the identical
+    split + shingle + overlap derivation in DuckDB SQL."""
+    from s2cell_spark.operators.contamination import ngram_contamination
+    from s2cell_spark.operators.sampling import hash_split
+
+    docs = hash_split(
+        _load_docs(spark, sf_dir),
+        {"train": 9000, "val": 500, "test": 500},
+        salt="r4",
+    )
+    out = ngram_contamination(
+        docs.filter(F.col("split") == "train").drop("split"),
+        docs.filter(F.col("split") == "test").drop("split"),
+        threshold_bp=CONTAM_THRESHOLD_BP,
+    )
+    return out
+
+
+def _q_spatial_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-density spatial clustering (operators.spatialcluster):
+    level-{SPATIAL_LEVEL} cells with >= {SPATIAL_MIN_PAGES} pages,
+    clustered by 4-adjacency connected components — the DBSCAN-style
+    hotspot query. Interior-only (the oracle contract shared with
+    neighbors_interior: cross-face wrapping has no pure-SQL
+    re-derivation). Oracle: Hilbert-in-SQL cell rollup + IJ adjacency
+    join + recursive-CTE closure over cell tokens."""
+    from s2cell_spark.operators.spatialcluster import dense_cell_clusters
+
+    out = dense_cell_clusters(
+        _pages_with_cells(spark, sf_dir),
+        level=SPATIAL_LEVEL,
+        min_pages=SPATIAL_MIN_PAGES,
+        interior_only=True,
+    )
+    return out.select(
+        "cell_token",
+        "cluster_token",
+        F.col("n_pages").cast("long").alias("n_pages"),
+        "is_seed",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s2_bitops": _q_bitops,
@@ -1535,19 +1762,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_rollup": _q_lang_rollup,
         "dedup_exact": _q_dedup_exact,
         "jaccard_pairs": _q_jaccard_all,
-        "dup_clusters": _q_dup_clusters,
-        "dup_clusters_minhash": _q_dup_clusters_minhash,
+        "dup_clusters": _q_dup_clusters_all,
         "cc_pipeline": _q_cc_pipeline,
         "colocated_pairs": _q_colocated_pairs,
+        "spatial_clusters": _q_spatial_clusters,
         "minhash_near_dups": _q_minhash_near_dups,
         "simhash": _q_simhash,
         "doc_fingerprint": _q_fingerprint,
         "token_count": _q_token_count,
-        "train_split": _q_train_split,
+        "train_split": _q_train_split_all,
+        "contamination": _q_contamination,
         "quality_score": _q_quality,
         "lang_id": _q_lang_id,
-        "ann_topk": _q_ann_topk,
-        "ivf_topk": _q_ivf_all,
+        "ann_topk": _q_ann_all,
         "cosine_near_dups": _q_cosine_near_dups,
         "multimodal_features": _q_multimodal,
         # LAST on purpose: the one rows-only entry (sketch estimates have
@@ -2670,20 +2897,34 @@ def oracle_sql() -> dict[str, str]:
                 "uncapped": _jaccard_oracle(),
             }
         ),
-        "dup_clusters": _dup_clusters_oracle(),
-        "dup_clusters_minhash": _dup_clusters_oracle(_minhash_oracle()),
+        "dup_clusters": _variant_oracle(
+            {
+                "jaccard": _dup_clusters_oracle(),
+                "minhash": _dup_clusters_oracle(_minhash_oracle()),
+            }
+        ),
         "cc_pipeline": _cc_pipeline_oracle(),
         "colocated_pairs": _colocated_pairs_oracle(),
+        "spatial_clusters": _spatial_clusters_oracle(),
         "minhash_near_dups": _minhash_oracle(),
         "simhash": _simhash_oracle(),
         "doc_fingerprint": _fingerprint_oracle(),
         "token_count": _token_count_oracle(),
-        "train_split": _train_split_oracle(),
+        "train_split": _variant_oracle(
+            {
+                "hash": _train_split_oracle(),
+                "stratified": _train_split_stratified_oracle(),
+            }
+        ),
+        "contamination": _contamination_oracle(),
         "quality_score": _quality_oracle(),
         "lang_id": _lang_oracle(),
-        "ann_topk": _ann_oracle(),
-        "ivf_topk": _variant_oracle(
-            {"recompute": _ivf_oracle(), "bucketed": _ivf_oracle()}
+        "ann_topk": _variant_oracle(
+            {
+                "brute": _ann_oracle(),
+                "ivf_recompute": _ivf_oracle(),
+                "ivf_bucketed": _ivf_oracle(),
+            }
         ),
         "cosine_near_dups": _cosine_near_dups_oracle(),
         "multimodal_features": _multimodal_oracle(),

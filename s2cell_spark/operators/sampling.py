@@ -30,18 +30,22 @@ from pyspark.sql import functions as F
 BUCKETS = 10_000
 
 
-def hash_bucket(id_col: Column, salt: str = "") -> Column:
-    """Deterministic bucket in [0, 10000) from the 31-bit md5-prefix hash
-    of ``id:salt``. DuckDB mirror:
+def hash31(id_col: Column, salt: str = "") -> Column:
+    """Raw 31-bit md5-prefix hash of ``id:salt`` (the dedup family's
+    shingle_hash_expr spec). DuckDB mirror:
     ``CAST(concat('0x', substr(md5(concat(CAST(id AS VARCHAR), ':{salt}')),
-    1, 8)) AS BIGINT) & 2147483647) % 10000``."""
+    1, 8)) AS BIGINT) & 2147483647``."""
     key = F.concat(id_col.cast("string"), F.lit(":" + salt))
-    h = (
+    return (
         F.conv(F.substring(F.md5(key), 1, 8), 16, 10)
         .cast("long")
         .bitwiseAND(F.lit((1 << 31) - 1))
     )
-    return h % F.lit(BUCKETS)
+
+
+def hash_bucket(id_col: Column, salt: str = "") -> Column:
+    """Deterministic bucket in [0, 10000): :func:`hash31` mod 10000."""
+    return hash31(id_col, salt) % F.lit(BUCKETS)
 
 
 def hash_split(
@@ -69,6 +73,88 @@ def hash_split(
         )
     expr = F.lit(names[0]) if expr is None else expr.otherwise(names[-1])
     return df.withColumn(out_col, expr)
+
+
+def stratified_split(
+    df: DataFrame,
+    splits: "dict[str, int]",
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "",
+    out_col: str = "split",
+    rank_buckets: int = 256,
+) -> DataFrame:
+    """EXACT per-stratum quotas: within every `strata_col` group the
+    split sizes are exactly ``floor(n_g * bp / 10000)`` (remainder to the
+    last split), assigned by hash rank — so a 0.1%-of-corpus language
+    still lands 90/5/5, where :func:`hash_split` only hits quotas in
+    expectation (binomial noise ~sqrt(n_g) — material for small strata).
+
+    Exact quotas need each row's RANK within its stratum; a naive
+    ``row_number() OVER (PARTITION BY stratum)`` funnels whole strata
+    through single window partitions — at 10^12 docs the majority
+    language serializes on one task. This is the classic distributed
+    ranking decomposition instead:
+
+    1. rows get a range bucket ``rb`` = high bits of the 31-bit hash
+       (``rank_buckets`` contiguous hash ranges, uniformly filled);
+    2. one tiny aggregate counts (stratum, rb) cells — bounded by
+       n_strata * rank_buckets REGARDLESS of corpus size;
+    3. the driver prefix-sums each stratum's bucket counts into offsets
+       (same bounded-metadata-collect precedent as plans.bloom) and
+       broadcasts them back as a literal frame;
+    4. ``row_number`` runs per (stratum, rb) — rank_buckets-way parallel,
+       balanced by hash uniformity — and the global rank is
+       ``offset + local_rank``.
+
+    Stability: like hash_split, assignment depends only on (id, salt,
+    the stratum's membership) — NOT on partition layout. Unlike
+    hash_split, appending rows DOES reshuffle ranks near quota
+    boundaries (exact quotas are inherently append-sensitive); use
+    hash_split when append-stability matters more than exactness.
+    """
+    if sum(splits.values()) != BUCKETS:
+        raise ValueError(
+            f"split weights must sum to {BUCKETS} basis points, got {splits}"
+        )
+    if rank_buckets & (rank_buckets - 1) or rank_buckets <= 0:
+        raise ValueError(f"rank_buckets must be a power of two, got {rank_buckets}")
+    from pyspark.sql import Window
+
+    shift = 31 - (rank_buckets.bit_length() - 1)
+    t = df.withColumn("_h", hash31(F.col(id_col), salt)).withColumn(
+        "_rb", F.shiftright(F.col("_h"), shift)
+    )
+    counts = (
+        t.groupBy(strata_col, "_rb").agg(F.count("*").alias("_c")).collect()
+    )
+    per: dict = {}
+    for row in counts:
+        per.setdefault(row[strata_col], []).append((row["_rb"], row["_c"]))
+    lit_rows = []
+    for g, bl in per.items():
+        bl.sort()
+        n_g = sum(c for _, c in bl)
+        off = 0
+        for rb, c in bl:
+            lit_rows.append((g, int(rb), off, n_g))
+            off += c
+    offs = df.sparkSession.createDataFrame(
+        lit_rows, schema=f"{strata_col} string, _rb long, _off long, _n long"
+    )
+    t = t.join(F.broadcast(offs), on=[strata_col, "_rb"], how="inner")
+    w = Window.partitionBy(strata_col, "_rb").orderBy("_h", id_col)
+    rank = F.col("_off") + F.row_number().over(w) - 1  # 0-based stratum rank
+    expr = None
+    cum = 0
+    names = list(splits)
+    for name in names[:-1]:
+        cum += splits[name]
+        thr = F.expr(f"(_n * {cum}) div {BUCKETS}")
+        cond = rank < thr
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    expr = F.lit(names[0]) if expr is None else expr.otherwise(names[-1])
+    return t.withColumn(out_col, expr).drop("_h", "_rb", "_off", "_n")
 
 
 def deterministic_sample(

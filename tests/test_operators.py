@@ -1843,3 +1843,138 @@ def test_hash_split_partition_invariant_and_exhaustive(spark):
         hash_split(df, {"train": 9000, "val": 500})
     with _pytest.raises(ValueError):
         deterministic_sample(df, 10001)
+
+
+def test_stratified_split_exact_quotas_and_layout_invariance(spark):
+    """stratified_split hits EXACT floor quotas inside every stratum
+    (hash_split is only binomially close), assigns identically under any
+    physical layout, re-rolls with the salt, and validates arguments.
+    Strata sized 5000/97/3 cover the balanced, awkward-floor, and
+    tiny-remainder cases."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from s2cell_spark.operators.sampling import stratified_split
+
+    df = spark.range(5100).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 5000, "big")
+        .when(F.col("id") < 5097, "mid")
+        .otherwise("tiny")
+        .alias("lang"),
+    )
+    splits = {"train": 9000, "val": 500, "test": 500}
+    out = stratified_split(df.repartition(11), splits, strata_col="lang")
+    counts = {
+        (r["lang"], r["split"]): r["n"]
+        for r in out.groupBy("lang", "split").agg(F.count("*").alias("n")).collect()
+    }
+    # exact quotas: floor(n_g * bp / 10000), remainder to the LAST split
+    assert counts[("big", "train")] == 4500
+    assert counts[("big", "val")] == 250 and counts[("big", "test")] == 250
+    assert counts[("mid", "train")] == 87  # floor(97 * .9)
+    assert counts[("mid", "val")] == 5 and counts[("mid", "test")] == 5
+    assert counts[("tiny", "train")] == 2  # floor(3 * .9)
+    assert ("tiny", "val") not in counts and counts[("tiny", "test")] == 1
+    # layout invariance: identical assignment map however rows are laid out
+    a = {r["doc_id"]: r["split"] for r in out.collect()}
+    b = {
+        r["doc_id"]: r["split"]
+        for r in stratified_split(df.coalesce(1), splits, strata_col="lang").collect()
+    }
+    assert a == b and len(a) == 5100
+    # salt re-rolls assignments without changing quotas
+    c = {
+        r["doc_id"]: r["split"]
+        for r in stratified_split(df, splits, strata_col="lang", salt="v2").collect()
+    }
+    assert c != a and sorted(c.values()) == sorted(a.values())
+    with _pytest.raises(ValueError):
+        stratified_split(df, {"train": 9000, "val": 500}, strata_col="lang")
+    with _pytest.raises(ValueError):
+        stratified_split(df, splits, strata_col="lang", rank_buckets=3)
+
+
+def test_ngram_contamination_exact_counts(spark):
+    """Known overlap geometry: a verbatim benchmark copy (100% of its
+    shingles matched), a partial leak (1 of 4), a clean doc (absent from
+    the report), and a doc too short to shingle (absent)."""
+    from s2cell_spark.operators.contamination import ngram_contamination
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "alpha beta gamma zeta eta theta"),
+            (3, "foo bar baz qux"),
+            (4, "alpha beta"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta")], "doc_id long, text string"
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in ngram_contamination(corpus, bench, threshold_bp=2000).collect()
+    }
+    assert set(rows) == {1, 2}
+    r1, r2 = rows[1], rows[2]
+    assert (r1["n_shingles"], r1["n_matched"], r1["contam_bp"]) == (2, 2, 10000)
+    assert r1["contaminated"]
+    assert (r2["n_shingles"], r2["n_matched"], r2["contam_bp"]) == (4, 1, 2500)
+    assert r2["contaminated"]
+
+
+def test_dense_cell_clusters_adjacency_density_and_4connectivity(spark):
+    """Hand-built leaf cells: two +i-adjacent dense cells merge into one
+    cluster (min-token seed), a diagonal dense cell does NOT (4-adjacency,
+    not 8), a far dense cell is its own singleton, and a 2-page cell
+    falls under min_pages and is absent."""
+    import numpy as np
+
+    from s2cell_spark import kernels
+    from s2cell_spark.operators.spatialcluster import dense_cell_clusters
+
+    level = 7
+    size = 1 << (30 - level)
+    bi, bj = size * 40, size * 40  # comfortably interior on face 1
+
+    def leaves(face, i, j, n):
+        ii = np.full(n, i, dtype=np.int64) + np.arange(n)
+        jj = np.full(n, j, dtype=np.int64)
+        ff = np.full(n, face, dtype=np.int64)
+        return [
+            int(c)
+            for c in kernels.face_ij_to_cell_id(ff, ii, jj, 30).view(np.int64)
+        ]
+
+    def token(face, i, j):
+        leaf = kernels.face_ij_to_cell_id(
+            np.array([face]), np.array([i]), np.array([j]), 30
+        )
+        return str(
+            kernels.cell_id_to_token(
+                kernels.cell_id_to_parent_cell_id(leaf, level)
+            )[0]
+        )
+
+    cells = (
+        leaves(1, bi, bj, 3)  # A: dense
+        + leaves(1, bi + size, bj, 3)  # B: dense, +i neighbor of A
+        + leaves(1, bi - size, bj - size, 3)  # F: diagonal to A only
+        + leaves(1, bi + 10 * size, bj, 4)  # C: dense, isolated
+        + leaves(1, bi, bj + 20 * size, 2)  # D: sparse, dropped
+    )
+    pages = spark.createDataFrame([(c,) for c in cells], "cell_id long")
+    out = {
+        r["cell_token"]: r
+        for r in dense_cell_clusters(pages, level=level, min_pages=3).collect()
+    }
+    tA, tB = token(1, bi, bj), token(1, bi + size, bj)
+    tF, tC = token(1, bi - size, bj - size), token(1, bi + 10 * size, bj)
+    assert set(out) == {tA, tB, tF, tC}
+    assert out[tA]["cluster_token"] == out[tB]["cluster_token"] == min(tA, tB)
+    assert out[tF]["cluster_token"] == tF and out[tF]["is_seed"]
+    assert out[tC]["cluster_token"] == tC and out[tC]["is_seed"]
+    assert out[tA]["is_seed"] != out[tB]["is_seed"]  # exactly one seed
+    assert (out[tA]["n_pages"], out[tC]["n_pages"]) == (3, 4)

@@ -34,7 +34,9 @@ MIN_ROWS = {
     "cell_distinct_urls": 150,
     "supplier_cell_revenue": 40,
     "asof_clicks_views": 400,  # window + chunked arms x ~200
-    "train_split": 3,  # exactly train/val/test
+    "train_split": 6,  # exactly train/val/test x (hash + stratified arms)
+    "contamination": 150,
+    "spatial_clusters": 15,
     "user_sessions": 100,
     "events_cell_quantiles": 100,
     "tile_topk_pages": 300,
@@ -43,8 +45,7 @@ MIN_ROWS = {
     "jaccard_pairs": 20,  # capped + uncapped arms
     "minhash_near_dups": 10,
     "simhash": 400,
-    "ann_topk": 35,
-    "ivf_topk": 70,  # recompute + bucketed arms
+    "ann_topk": 100,  # brute + ivf_recompute + ivf_bucketed arms x 40
     "cosine_near_dups": 40,
     "sql_api": 400,
     "token_count": 400,
@@ -55,8 +56,7 @@ MIN_ROWS = {
     "events_in_windows": 40,
     "cell_distinct_urls_hll": 150,
     "events_cell_quantiles_approx": 50,
-    "dup_clusters": 400,
-    "dup_clusters_minhash": 400,
+    "dup_clusters": 800,  # jaccard + minhash arms x ~500
     "cc_pipeline": 100,
     "colocated_pairs": 250,
     "cell_distinct_urls_hll_prod": 150,
