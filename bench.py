@@ -68,7 +68,6 @@ HEADLINE = [
     "quality_score",
     "lang_id",
     "ann_topk",
-    "ivf_topk",
     "cosine_near_dups",
     "multimodal_features",
     "within_radius",
@@ -79,9 +78,10 @@ HEADLINE = [
     "cell_distinct_urls_hll",
     "events_cell_quantiles_approx",
     "dup_clusters",
-    "dup_clusters_minhash",
     "cc_pipeline",
     "colocated_pairs",
+    "spatial_clusters",
+    "contamination",
     "cell_distinct_urls_hll_prod",
 ]
 
@@ -422,12 +422,11 @@ TEXTSCALE = [
     "quality_score",
     "lang_id",
     "ann_topk",
-    "ivf_topk",
     "cosine_near_dups",
     "multimodal_features",
     "dup_clusters",
-    "dup_clusters_minhash",
     "cc_pipeline",
+    "contamination",
 ]
 
 

@@ -166,3 +166,41 @@ def deterministic_sample(
     if not 0 <= rate_bp <= BUCKETS:
         raise ValueError(f"rate_bp must be in [0, {BUCKETS}], got {rate_bp}")
     return df.filter(hash_bucket(F.col(id_col), salt) < rate_bp)
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_bp_col: str,
+    rate_bp: int = BUCKETS,
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Per-row Bernoulli keep with probability
+    ``(weight_bp / 10000) * (rate_bp / 10000)`` — the static-mixture
+    sampling step of a training-data pipeline (quality-weighted
+    up/down-sampling: docs carry an integer per-row weight in basis
+    points, e.g. from ``textstats.quality_score_col`` rescaled, and the
+    corpus-wide ``rate_bp`` scales the whole mixture).
+
+    Same contract as :func:`deterministic_sample` (pure f(id, salt):
+    map-only, layout-invariant, append-stable, salt re-rolls) but the
+    threshold is a COLUMN, so every row carries its own keep
+    probability. The keep rule is all-integer at 24-bit hash resolution
+    (≈16.7M probability levels): keep iff
+    ``(hash31 >> 7) * 10^8 < weight_bp * rate_bp * 2^24``. Both sides
+    stay < 2^51 for weight_bp <= 10^4, so the comparison is pure int64
+    on both engines and a DuckDB oracle replicates membership exactly
+    (DuckDB raises on int64 overflow rather than wrapping — the repo
+    invariant — and this form never overflows).
+
+    A weight of 10000 bp keeps the row with probability rate_bp/10000
+    (== deterministic_sample); 20000 bp is clamp-kept (probability 1 at
+    full rate — static upsampling beyond 1x is repetition, use
+    ``explode(sequence(...))`` on ``weight_bp // 10000`` for that).
+    """
+    if not 0 <= rate_bp <= BUCKETS:
+        raise ValueError(f"rate_bp must be in [0, {BUCKETS}], got {rate_bp}")
+    h7 = F.shiftright(hash31(F.col(id_col), salt), 7)  # 24-bit
+    lhs = h7 * F.lit(BUCKETS * BUCKETS)  # < 2^51
+    rhs = F.col(weight_bp_col).cast("long") * F.lit(int(rate_bp) << 24)
+    return df.filter(lhs < rhs)

@@ -1978,3 +1978,63 @@ def test_dense_cell_clusters_adjacency_density_and_4connectivity(spark):
     assert out[tC]["cluster_token"] == tC and out[tC]["is_seed"]
     assert out[tA]["is_seed"] != out[tB]["is_seed"]  # exactly one seed
     assert (out[tA]["n_pages"], out[tC]["n_pages"]) == (3, 4)
+
+
+def test_weighted_sample_rates_layout_invariance_and_edges(spark):
+    """weighted_sample keeps ~weight*rate of rows (exact set asserted by
+    re-deriving the integer rule in python), is layout-invariant, nests
+    monotonically in rate, and clamp-keeps weight >= 10000 at full rate."""
+    import hashlib
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from s2cell_spark.operators.sampling import weighted_sample
+
+    n = 20_000
+    df = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        # three weight classes: 2500 bp, 10000 bp (==deterministic), 20000 bp
+        F.when(F.col("id") % 3 == 0, 2500)
+        .when(F.col("id") % 3 == 1, 10000)
+        .otherwise(20000)
+        .cast("long")
+        .alias("w_bp"),
+    )
+
+    def expect(doc_id: int, w: int, rate: int) -> bool:
+        h = int(hashlib.md5(f"{doc_id}:s".encode()).hexdigest()[:8], 16) & (
+            (1 << 31) - 1
+        )
+        return (h >> 7) * 10**8 < w * rate * (1 << 24)
+
+    kept = {
+        r["doc_id"]
+        for r in weighted_sample(df, "w_bp", rate_bp=5000, salt="s").collect()
+    }
+    truth = {
+        i for i in range(n) if expect(i, [2500, 10000, 20000][i % 3], 5000)
+    }
+    assert kept == truth
+    # rates land near weight*rate: class 2500bp @ rate 5000 ~= 12.5%
+    c0 = sum(1 for i in kept if i % 3 == 0) / (n / 3)
+    c1 = sum(1 for i in kept if i % 3 == 1) / (n / 3)
+    assert abs(c0 - 0.125) < 0.02 and abs(c1 - 0.5) < 0.02
+    # layout invariance
+    kept_c1 = {
+        r["doc_id"]
+        for r in weighted_sample(df.coalesce(1), "w_bp", rate_bp=5000, salt="s").collect()
+    }
+    assert kept_c1 == kept
+    # monotone nesting in rate
+    kept_lo = {
+        r["doc_id"]
+        for r in weighted_sample(df, "w_bp", rate_bp=1000, salt="s").collect()
+    }
+    assert kept_lo <= kept
+    # clamp: weight 20000 at full rate keeps everything in that class
+    full = weighted_sample(df, "w_bp", rate_bp=10000, salt="s")
+    n_class2 = sum(1 for i in range(n) if i % 3 == 2)
+    assert full.filter((F.col("doc_id") % 3 == 2)).count() == n_class2
+    with _pytest.raises(ValueError):
+        weighted_sample(df, "w_bp", rate_bp=10001)

@@ -386,3 +386,56 @@ def test_colocated_pairs_self_join_has_no_exchange_no_sort(spark, entry):
     assert "SortMergeJoin" in plan
     assert "Exchange" not in plan
     assert "SelectedBucketsCount: 16 out of 16" in plan
+
+
+def test_contamination_probe_is_broadcast_corpus_never_shuffles_shingles(spark, entry):
+    """The decontamination pass at 10^12 docs: the benchmark's distinct
+    shingle set broadcasts (stats-gated) and the corpus side is map-only
+    until the matched-docs rollup — exploded corpus shingles must never
+    cross a SortMergeJoin exchange. The one corpus-side hashpartitioning
+    exchange allowed is the per-doc count aggregate (partial+final)."""
+    plan = _plan(entry.queries()["contamination"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    # the broadcast side's distinct runs on benchmark shingles (tiny by
+    # nature); the probe join itself must sit below any corpus exchange:
+    # joining then aggregating means exactly one post-join hash exchange.
+    post_join = plan[: plan.index("BroadcastHashJoin")]
+    assert post_join.count("Exchange hashpartitioning") == 1
+
+
+def test_spatial_clusters_page_side_is_one_partial_rollup(spark, entry):
+    """Grid-DBSCAN's scale contract: pages are touched by exactly ONE
+    map-side-partial aggregate (the heatmap rollup) and the IJ-decode UDF
+    runs AFTER the density filter on the grid-bounded dense-cell frame —
+    never per page."""
+    from pyspark.sql import functions as F
+
+    from s2cell_spark.operators.spatialcluster import dense_cells
+
+    pages = entry._pages_with_cells(spark, SF)
+    plan = _plan(dense_cells(pages, level=7, min_pages=3))
+    # one exchange total: the rollup's partial/final pair
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("HashAggregate") >= 2
+    # the decode UDF (ArrowEvalPython) must appear ABOVE the aggregate
+    # exchange — i.e. the per-page section below the exchange is UDF-free
+    # except the S2 encode itself
+    below = plan[plan.index("Exchange hashpartitioning") :]
+    assert below.count("ArrowEvalPython") == 1  # the page-side S2 encode only
+    above = plan[: plan.index("Exchange hashpartitioning")]
+    assert above.count("ArrowEvalPython") == 1  # the dense-cell IJ decode only
+
+
+def test_spatial_clusters_adjacency_is_equi_join(spark, entry):
+    """Dense-cell adjacency must be the +i/+j probe equi-join — never a
+    BNLJ/cartesian over the dense set."""
+    from s2cell_spark.operators.spatialcluster import adjacency_edges, dense_cells
+
+    pages = entry._pages_with_cells(spark, SF)
+    dense = dense_cells(pages, level=7, min_pages=2).localCheckpoint(eager=True)
+    plan = _plan(adjacency_edges(dense, level=7))
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan) or (
+        "ShuffledHashJoin" in plan
+    )
