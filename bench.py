@@ -377,14 +377,13 @@ def run_default() -> None:
     # rollup) over the INFLATED at-rest pages table — the raw sf table is
     # small enough that fixed per-query overhead, not the engine, would be
     # what's measured. Same job as `--scaling` (shared _make_throughput_job).
-    spark.conf.set(
-        "spark.sql.files.maxPartitionBytes", str(_THROUGHPUT_MPB)
-    )
     repeat = int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "2000"))
     path, total_pages = _materialize_bench_input(spark, repeat)
+    _tune_scan_splits(spark, path, total_pages)
     throughput_job = _make_throughput_job(spark, path)
 
-    joined = throughput_job()  # warm pass: parquet footers, code paths
+    n_scanned, joined = throughput_job()  # warm pass: footers, code paths
+    assert n_scanned == total_pages, (n_scanned, total_pages)
     # best-of-N here too: this job runs after passes x 37 queries of
     # accumulated session debris (GC pressure, shuffle dirs), and a single
     # timed pass inherits it — measured 3x noise on this shared VM
@@ -630,37 +629,63 @@ SPARK_GRAFT_BENCH_PASSES, SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS).
 # setting split the 1.2 GB inflated table into 160 tasks, and a Python-
 # UDF-bearing stage pays ~100 ms of FIXED cost per task (worker dispatch,
 # Arrow stream setup, parquet reader open) — 160 tasks of ~70k rows were
-# pure overhead amortization failure. The input is materialized as 32
-# equal files (~37 MB each) and scanned at 64 MB maxPartitionBytes -> 32
-# partitions at every ladder level: one task per core at local[32], the
-# same fixed layout at 2/8 cores (16/4 waves). Measured interleaved
-# same-session: 4.6M -> 7.8M pages/s. The 100 TB lesson generalizes:
-# size UDF-stage partitions to >= tens of MB so per-task fixed costs
-# vanish; never hand the scheduler confetti.
-_THROUGHPUT_MPB = 64 * 1024 * 1024
+# pure overhead amortization failure. Round-4 follow-up: a fixed BYTE
+# size keeps miscalibrating because rows-per-byte swings ~30x with the
+# table's parquet dictionary compressibility (sorted-run layouts pack
+# 250k rows into 1 MB; realistic layouts ~30 per KB) — and what the
+# ~100 ms/task fixed cost must amortize against is ROWS through the
+# UDF, not bytes off disk. So the scan split size is derived per input:
+# mpb = target-rows-per-task x measured bytes/row (clamped 4-512 MB),
+# giving every ladder level the identical ~250k-row task layout
+# (~2 s/task end-to-end -> <5% fixed-cost share, 3+ waves at local[32]
+# on the ladder input). Measured interleaved same-session at the 8 MB ->
+# 64 MB step: 4.6M -> 7.8M pages/s. The 100 TB lesson generalizes: size
+# UDF-stage partitions by rows-per-task, and check what a byte knob
+# means in rows before trusting it; never hand the scheduler confetti.
+_THROUGHPUT_ROWS_PER_TASK = 250_000
 _THROUGHPUT_FILES = 32
+
+
+def _tune_scan_splits(spark, path: str, total_rows: int) -> int:
+    """Set ``spark.sql.files.maxPartitionBytes`` so each scan split of
+    the materialized bench table carries ~_THROUGHPUT_ROWS_PER_TASK rows
+    (see the sizing rationale above). Returns the byte size chosen."""
+    total_bytes = sum(
+        p.stat().st_size for p in Path(path).glob("*.parquet")
+    )
+    mpb = int(_THROUGHPUT_ROWS_PER_TASK * total_bytes / max(total_rows, 1))
+    mpb = max(4 * 1024 * 1024, min(512 * 1024 * 1024, mpb))
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(mpb))
+    return mpb
 
 
 def _make_throughput_job(spark, path: str):
     """THE north-rule job, shared verbatim by default-mode throughput and
     the --scaling ladder (so their pages/sec are the same metric): scan
-    inflated pages -> S2 encode -> broadcast covering containment join vs
-    the PIP boxes -> exact rect filter -> level-8 rollup. Returns a
-    zero-arg callable building a FRESH plan per run (no result reuse);
-    the broadcast covering dim is built+cached once (per-query driver
-    work, constant in data size)."""
+    inflated pages -> S2 encode EVERY page -> level-8 heatmap rollup,
+    PLUS the broadcast covering containment join vs the PIP boxes ->
+    exact rect filter -> matched-pages rollup; both folded to one row.
+
+    The heatmap arm is what makes "pages/sec" honest (round 4,
+    BENCH/MICRO.md): in the old join-only form Catalyst pushed the exact
+    rect filter below the encode UDF into the parquet scan — the RIGHT
+    plan for that query, but it meant only the ~17% of pages inside the
+    boxes were ever encoded, so dividing the nominal page count by the
+    wall overstated throughput ~6x and the ladder measured scan-skip, not
+    the engine. The heatmap consumes cell_id for ALL pages, so no filter
+    can legally cross the UDF on that branch (plan-pinned in
+    tests/test_plans.py). Returns a zero-arg callable building a FRESH
+    plan per run (no result reuse); the broadcast covering dim is
+    built+cached once (per-query driver work, constant in data size)."""
     from pyspark.sql import functions as F
 
     import __spark_entry__ as E
     from s2cell_spark import functions as S2F
-    from s2cell_spark.operators.containment import (
-        containment_join_equi,
-        normalized_coverings_df,
-    )
+    from s2cell_spark.operators.containment import normalized_coverings_df
     from s2cell_spark.sources.pages import with_cell_id
 
-    # Arrow batch 128k: with the one-wave 37 MB partitions (see
-    # _THROUGHPUT_MPB) the r2-era 512k choice no longer wins — the
+    # Arrow batch 128k: with ~250k-row splits (see _tune_scan_splits)
+    # the r2-era 512k choice no longer wins — the
     # interleaved sweep (BENCH/MICRO.md, round 4) has a flat optimum
     # across 64k-256k at 40-56 MB partitions, and 512k measured ~2%
     # slower than 128k. 128k keeps per-batch overhead amortized (~2 MB
@@ -670,19 +695,40 @@ def _make_throughput_job(spark, path: str):
     cov_df = normalized_coverings_df(spark, E._box_regions(), 10).cache()
     cov_df.count()
 
-    def job() -> int:
+    def job() -> tuple[int, int]:
         pages = with_cell_id(spark.read.parquet(path))
-        joined = containment_join_equi(pages, spark, cov_df, level=10)
-        exact = E._exact_box_filter(joined)
-        parent = S2F.cell_id_to_parent_cell_id(F.col("cell_id"), 8)
-        return (
-            exact.groupBy(parent.alias("cell"))
-            .agg(F.count("*").alias("n"))
-            .agg(F.sum("n"))
-            .collect()[0][0]
-        )
+        row = throughput_result_df(spark, pages, cov_df).collect()[0]
+        return int(row["p"]), int(row["m"] or 0)
 
     return job
+
+
+def throughput_result_df(spark, pages, cov_df):
+    """The north-rule job's single-action DataFrame (see
+    `_make_throughput_job`): heatmap-every-page + matched-pages arms
+    folded to one (p, m) row. Module-level so tests/test_plans.py can
+    pin the heatmap arm's no-pushdown-through-the-UDF shape."""
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as E
+    from s2cell_spark import functions as S2F
+    from s2cell_spark.operators.containment import containment_join_equi
+
+    parent = S2F.cell_id_to_parent_cell_id(F.col("cell_id"), 8)
+    # arm 1: level-8 heatmap over EVERY page (full-corpus encode)
+    heat = pages.groupBy(parent.alias("cell")).agg(F.count("*").alias("n_pages"))
+    # arm 2: covering containment join + exact rect filter (the spatial
+    # join; its scan is pushdown-pruned — that arm SHOULD skip, the
+    # heatmap arm must not)
+    joined = containment_join_equi(pages, spark, cov_df, level=10)
+    exact = E._exact_box_filter(joined)
+    matched = exact.groupBy(parent.alias("cell")).agg(
+        F.count("*").alias("n_matched")
+    )
+    return heat.join(matched, "cell", "left").agg(
+        F.sum("n_pages").alias("p"),
+        F.sum("n_matched").alias("m"),
+    )
 
 
 def _materialize_bench_input(spark, repeat: int) -> tuple[str, int]:
@@ -699,9 +745,21 @@ def _materialize_bench_input(spark, repeat: int) -> tuple[str, int]:
     marker = Path(path) / "_SUCCESS"
     base = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
     if not marker.exists():
+        # repartition the (tiny) BASE before the crossJoin and broadcast
+        # the repeat range: inflation then runs as _THROUGHPUT_FILES
+        # parallel map tasks — the former order (crossJoin first) ran the
+        # whole inflation on the base table's ONE row-group partition.
+        # The post-crossJoin repartition is NOT redundant: it breaks up
+        # the 16000-copy runs a broadcast crossJoin emits. Left sorted,
+        # parquet RLE/dict collapses those runs ~30x (measured 4 B/row vs
+        # ~120 B/row shuffled), which breaks byte-proportional split
+        # planning (32 files -> ~5 packed splits -> 24 idle cores at
+        # local[32]) and hands the scan zone maps a 100 TB table of
+        # unique pages would never have.
         (
             load_pages(spark, SF_DIR)
-            .crossJoin(spark.range(repeat).withColumnRenamed("id", "rep"))
+            .repartition(_THROUGHPUT_FILES)
+            .crossJoin(F.broadcast(spark.range(repeat).withColumnRenamed("id", "rep")))
             .withColumn("doc_id", F.col("doc_id") * repeat + F.col("rep"))
             .drop("rep")
             .repartition(_THROUGHPUT_FILES)
@@ -719,10 +777,10 @@ def run_throughput_once(cores: int) -> None:
     from s2cell_spark import functions as S2F
 
     spark = make_spark(cores)
-    spark.conf.set("spark.sql.files.maxPartitionBytes", str(_THROUGHPUT_MPB))
     spark.sparkContext.setLogLevel("ERROR")
     repeat = int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "2000"))
     path, total_pages = _materialize_bench_input(spark, repeat)
+    _tune_scan_splits(spark, path, total_pages)
     # warm EVERY python worker (one per core): a UDF job with cores*4 tasks
     # forces the numpy/pandas imports out of the measured window
     warm = spark.range(cores * 4).repartition(cores * 4).withColumn(
@@ -735,7 +793,8 @@ def run_throughput_once(cores: int) -> None:
     job = _make_throughput_job(spark, path)
     # one untimed pass warms parquet footers / file listing / code paths,
     # then measure steady state (what a long-running 100-TB job sees)
-    n_out = job()
+    n_scanned, n_join = job()
+    assert n_scanned == total_pages, (n_scanned, total_pages)
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     t0 = time.time()
     for _ in range(runs):
@@ -746,7 +805,7 @@ def run_throughput_once(cores: int) -> None:
             {
                 "cores": cores,
                 "n_pages": total_pages,
-                "join_rows": int(n_out or 0),
+                "join_rows": n_join,
                 "wall_sec": round(wall, 3),
                 "pages_per_sec": round(total_pages / wall, 1),
             }
@@ -795,17 +854,19 @@ def run_scaling() -> None:
     ladder = tuple(
         int(x) for x in os.environ.get("SPARK_GRAFT_SCALING_PAIR", "2,8,32").split(",")
     )
-    # The ladder inflates the input 8x beyond the default bench (16000 vs
-    # 2000 replication, ~80M pages): after the round-4 partition-sizing
-    # fix the job runs ~1.3 s at local[32] on the x2000 input, and at
-    # that wall the ~0.5-1 s per-job fixed cost (submit, broadcast,
-    # wave scheduling, collect) — NOT the engine — is what a scaling
-    # ratio would measure. ~10 s+ walls at the top level make the ratio
-    # about the plan again. A real 100 TB job is hours long; the ladder
-    # must be in the fixed-cost-free regime to say anything about it.
+    # The ladder inflates the input 2x beyond the default bench (4000 vs
+    # 2000 replication, 20M pages): short top-level walls measure the
+    # ~0.5-1 s per-job fixed cost (submit, broadcast, wave scheduling,
+    # collect) — NOT the engine — so the top level needs ~5 s+ walls for
+    # the ratio to be about the plan. With the round-4 honest full-encode
+    # job (~4M pages/s at local[32]) 20M pages gives ~5 s at the top and
+    # ~80 s at local[2]; the former x16000 choice predates that job shape
+    # and would cost ~5 min/pass at local[2]. A real 100 TB job is hours
+    # long; the ladder must be in the fixed-cost-free regime to say
+    # anything about it.
     env = dict(
         os.environ,
-        SPARK_GRAFT_BENCH_REPEAT=os.environ.get("SPARK_GRAFT_SCALING_REPEAT", "16000"),
+        SPARK_GRAFT_BENCH_REPEAT=os.environ.get("SPARK_GRAFT_SCALING_REPEAT", "4000"),
     )
     results: dict[int, dict] = {}
     for _ in range(rounds):
