@@ -1393,14 +1393,49 @@ def _q_train_split_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_train_split_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted static-mixture sampling
+    (operators.sampling.weighted_sample): each doc carries an integer
+    per-row keep weight in basis points (here ``least(n_chars, 10000)``
+    — a deterministic quality proxy derivable on both engines) and is
+    kept with probability ``w_bp*rate_bp/10^8`` by the all-integer
+    24-bit hash rule. Run at two corpus rates (2500/7500 bp) so the
+    oracle value-checks MEMBERSHIP at two thresholds (and, via the
+    shared hash, the monotone nesting). Map-only like the other split
+    arms — the 10^12-doc cost is one fused projection + filter."""
+    from s2cell_spark.operators.dedup import words_col
+    from s2cell_spark.operators.sampling import weighted_sample
+
+    docs = _load_docs(spark, sf_dir).withColumn(
+        "w_bp", F.least(F.col("n_chars").cast("long") * 20, F.lit(10000))
+    )
+    arms = []
+    for rate in (2500, 7500):
+        kept = weighted_sample(docs, "w_bp", rate_bp=rate, salt="wmix")
+        arms.append(
+            kept.agg(
+                F.count("*").cast("long").alias("n_docs"),
+                F.countDistinct("lang").cast("long").alias("n_langs"),
+                F.sum(F.size(words_col()).cast("long"))
+                .cast("long")
+                .alias("sum_tokens"),
+                F.sum(F.col("n_chars").cast("long")).cast("long").alias("sum_chars"),
+            ).select(F.lit(f"r{rate}").alias("split"), "*")
+        )
+    return arms[0].unionByName(arms[1])
+
+
 def _q_train_split_all(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Both split strategies — corpus-level hash split (map-only,
-    append-stable) and exact-quota per-language stratified split — one
-    arm per ``variant`` tag, each against its own oracle derivation."""
+    """All three deterministic-hash assignment strategies — corpus-level
+    hash split (map-only, append-stable), exact-quota per-language
+    stratified split, and per-row quality-weighted Bernoulli sampling —
+    one arm per ``variant`` tag, each against its own oracle
+    derivation."""
     return _union_variants(
         {
             "hash": _q_train_split(spark, sf_dir),
             "stratified": _q_train_split_stratified(spark, sf_dir),
+            "weighted": _q_train_split_weighted(spark, sf_dir),
         }
     )
 
@@ -1452,6 +1487,37 @@ SELECT split,
        CAST(sum(n_chars) AS BIGINT) AS sum_chars
 FROM labeled GROUP BY 1
 """.replace("{W}", _WORDS)
+
+
+def _train_split_weighted_oracle() -> str:
+    """Oracle twin of ``sampling.weighted_sample``: re-derive the same
+    31-bit md5-prefix hash (salt wmix), the same ``least(n_chars,10000)``
+    weight, and the identical all-integer keep rule
+    ``(h>>7)*10^8 < w_bp*rate*2^24`` at both corpus rates — int64-exact
+    on both engines (no overflow: both sides < 2^51; ``rate*2^24`` is
+    pre-multiplied in Python because DuckDB folds ``2500 * 16777216`` in
+    INT32 and raises — the repo's overflow invariant)."""
+    arm = """SELECT 'r{rate}' AS split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(sum(len({W})) AS BIGINT) AS sum_tokens,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM s WHERE h7 * 100000000 < w_bp * {rate24}"""
+    arms = "\nUNION ALL\n".join(
+        arm.replace("{rate}", str(r))
+        .replace("{rate24}", str(r << 24))
+        .replace("{W}", _WORDS)
+        for r in (2500, 7500)
+    )
+    return f"""WITH s AS (
+  SELECT *,
+         least(CAST(n_chars AS BIGINT) * 20, 10000) AS w_bp,
+         ((CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), ':wmix')), 1, 8)) AS BIGINT)
+           & 2147483647) >> 7) AS h7
+  FROM documents
+)
+{arms}
+"""
 
 
 def _contamination_oracle() -> str:
@@ -2914,6 +2980,7 @@ def oracle_sql() -> dict[str, str]:
             {
                 "hash": _train_split_oracle(),
                 "stratified": _train_split_stratified_oracle(),
+                "weighted": _train_split_weighted_oracle(),
             }
         ),
         "contamination": _contamination_oracle(),

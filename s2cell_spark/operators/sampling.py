@@ -3,10 +3,12 @@ training-data pipeline (ENGINE; no reference counterpart — the reference
 is a geometry library, cf. /root/reference/README.rst:1-20; this module
 covers the LLM-data-pipeline mandate alongside dedup/similarity).
 
-Both operators are pure per-row hash expressions: **map-only** — no
-shuffle, no UDF, no state — so at 10^12 docs they cost one codegen'd
-projection fused into whatever scan already runs. Properties that matter
-in production and fall out of the hash design:
+hash_split, deterministic_sample, and weighted_sample are pure per-row
+hash expressions: **map-only** — no shuffle, no UDF, no state — so at
+10^12 docs they cost one codegen'd projection fused into whatever scan
+already runs (stratified_split alone pays a rollup + ranked window for
+its exact quotas; see its docstring for the skew decomposition).
+Properties that matter in production and fall out of the hash design:
 
 * **stable**: a doc's split/sample membership depends only on
   (id, salt) — re-runs, re-partitions, cluster-size changes, and

@@ -34,7 +34,7 @@ MIN_ROWS = {
     "cell_distinct_urls": 150,
     "supplier_cell_revenue": 40,
     "asof_clicks_views": 400,  # window + chunked arms x ~200
-    "train_split": 6,  # exactly train/val/test x (hash + stratified arms)
+    "train_split": 8,  # train/val/test x (hash + stratified) + 2 weighted rates
     "contamination": 150,
     "spatial_clusters": 15,
     "user_sessions": 100,
