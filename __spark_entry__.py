@@ -21,7 +21,7 @@ from collections.abc import Callable
 
 import numpy as np
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from s2cell_spark.sources.pages import LAT_SQL, LON_SQL, load_pages, pages_cte_duckdb, with_cell_id
@@ -165,9 +165,10 @@ def _box_regions(max_level: int = 10, min_emit_level: int = 6):
     }
 
 
-def _exact_box_filter(df: DataFrame) -> DataFrame:
-    """Exact PIP stage for the rectangle regions: region-specific bounds
-    applied via one CASE chain (codegen; no second join)."""
+def _exact_box_cond() -> Column:
+    """The exact-PIP predicate for the rectangle regions as a Column —
+    region-specific bounds in one codegen OR-chain (usable as a filter or,
+    null-safely, as a tag flag after a left containment join)."""
     cond = F.lit(False)
     for rid, a, b, c, d in PIP_BOXES:
         cond = cond | (
@@ -175,7 +176,12 @@ def _exact_box_filter(df: DataFrame) -> DataFrame:
             & (F.col("lat") >= a) & (F.col("lat") <= b)
             & (F.col("lon") >= c) & (F.col("lon") <= d)
         )
-    return df.filter(cond)
+    return cond
+
+
+def _exact_box_filter(df: DataFrame) -> DataFrame:
+    """Exact PIP stage for the rectangle regions (see _exact_box_cond)."""
+    return df.filter(_exact_box_cond())
 
 
 # ---------------------------------------------------------------------------

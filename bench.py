@@ -661,22 +661,26 @@ def _tune_scan_splits(spark, path: str, total_rows: int) -> int:
 
 def _make_throughput_job(spark, path: str):
     """THE north-rule job, shared verbatim by default-mode throughput and
-    the --scaling ladder (so their pages/sec are the same metric): scan
-    inflated pages -> S2 encode EVERY page -> level-8 heatmap rollup,
-    PLUS the broadcast covering containment join vs the PIP boxes ->
-    exact rect filter -> matched-pages rollup; both folded to one row.
+    the --scaling ladder (so their pages/sec are the same metric): ONE
+    pass over the inflated pages — S2 encode EVERY page -> LEFT broadcast
+    covering containment join vs the PIP boxes (tag region-or-null) ->
+    exact-rect matched flag -> level-8 heatmap rollup carrying page and
+    matched counts.
 
-    The heatmap arm is what makes "pages/sec" honest (round 4,
-    BENCH/MICRO.md): in the old join-only form Catalyst pushed the exact
-    rect filter below the encode UDF into the parquet scan — the RIGHT
-    plan for that query, but it meant only the ~17% of pages inside the
-    boxes were ever encoded, so dividing the nominal page count by the
-    wall overstated throughput ~6x and the ladder measured scan-skip, not
-    the engine. The heatmap consumes cell_id for ALL pages, so no filter
-    can legally cross the UDF on that branch (plan-pinned in
-    tests/test_plans.py). Returns a zero-arg callable building a FRESH
-    plan per run (no result reuse); the broadcast covering dim is
-    built+cached once (per-query driver work, constant in data size)."""
+    The left-join single-pass shape is what makes "pages/sec" honest
+    (round 4, BENCH/MICRO.md): in the old inner-join-only form Catalyst
+    pushed the exact rect filter below the encode UDF into the parquet
+    scan — the RIGHT plan for that query, but it meant only the ~17% of
+    pages inside the boxes were ever encoded, so dividing the nominal
+    page count by the wall overstated throughput ~6x and the ladder
+    measured scan-skip, not the engine. With the tag-and-rollup form the
+    heatmap consumes cell_id for ALL pages and outer-join semantics make
+    the rect predicate un-pushable, so the full-corpus encode is
+    structural (plan-pinned in tests/test_plans.py) — and it is also the
+    plan a 100 TB tag+rollup job would actually run. Returns a zero-arg
+    callable building a FRESH plan per run (no result reuse); the
+    broadcast covering dim is built+cached once (per-query driver work,
+    constant in data size)."""
     from pyspark.sql import functions as F
 
     import __spark_entry__ as E
@@ -705,9 +709,15 @@ def _make_throughput_job(spark, path: str):
 
 def throughput_result_df(spark, pages, cov_df):
     """The north-rule job's single-action DataFrame (see
-    `_make_throughput_job`): heatmap-every-page + matched-pages arms
-    folded to one (p, m) row. Module-level so tests/test_plans.py can
-    pin the heatmap arm's no-pushdown-through-the-UDF shape."""
+    `_make_throughput_job`): ONE pass — encode every page, LEFT
+    broadcast containment join (tag with region or null; outer-join
+    semantics make the rect predicate un-pushable below the scan, so
+    the full-corpus encode is structural), exact-rect matched flag,
+    level-8 heatmap rollup carrying both counts, folded to one (p, m)
+    row. p == nominal pages (each page appears exactly once: region
+    coverings are pairwise disjoint) and m == the inner-join row count —
+    both asserted by callers every pass. Module-level so
+    tests/test_plans.py can pin the single-scan no-pushdown shape."""
     from pyspark.sql import functions as F
 
     import __spark_entry__ as E
@@ -715,19 +725,17 @@ def throughput_result_df(spark, pages, cov_df):
     from s2cell_spark.operators.containment import containment_join_equi
 
     parent = S2F.cell_id_to_parent_cell_id(F.col("cell_id"), 8)
-    # arm 1: level-8 heatmap over EVERY page (full-corpus encode)
-    heat = pages.groupBy(parent.alias("cell")).agg(F.count("*").alias("n_pages"))
-    # arm 2: covering containment join + exact rect filter (the spatial
-    # join; its scan is pushdown-pruned — that arm SHOULD skip, the
-    # heatmap arm must not)
-    joined = containment_join_equi(pages, spark, cov_df, level=10)
-    exact = E._exact_box_filter(joined)
-    matched = exact.groupBy(parent.alias("cell")).agg(
-        F.count("*").alias("n_matched")
-    )
-    return heat.join(matched, "cell", "left").agg(
-        F.sum("n_pages").alias("p"),
-        F.sum("n_matched").alias("m"),
+    tagged = containment_join_equi(pages, spark, cov_df, level=10, how="left")
+    flag = F.when(
+        F.col("region_id").isNotNull() & E._exact_box_cond(), 1
+    ).otherwise(0)
+    return (
+        tagged.groupBy(parent.alias("cell"))
+        .agg(
+            F.count("*").alias("n_pages"),
+            F.sum(flag).alias("n_matched"),
+        )
+        .agg(F.sum("n_pages").alias("p"), F.sum("n_matched").alias("m"))
     )
 
 
@@ -836,12 +844,43 @@ def measure_ceiling(cores: int, batches: int = 40, n: int = 100_000) -> float:
     no Spark, no I/O, no shuffle, embarrassingly parallel. Whatever
     efficiency THIS loses between two core counts is the shared VM's
     hardware ceiling (hypervisor steal + memory bandwidth), not engine
-    overhead."""
+    overhead. NOTE: the 100k-point working set is cache-resident, so
+    this is the COMPUTE ceiling; a data-moving job is additionally
+    bounded by :func:`measure_bw_ceiling`."""
     import multiprocessing as mp
 
     with mp.get_context("spawn").Pool(cores) as pool:
         walls = pool.map(_ceiling_worker, [(batches, n)] * cores)
     return cores * batches * n / max(walls)
+
+
+def _bw_worker(args: tuple[int, int]) -> float:
+    n, reps = args
+    import numpy as np
+
+    a = np.random.default_rng(3).uniform(size=n)
+    b = np.empty_like(a)
+    np.add(a, 1.0, out=b)  # warm / fault pages
+    t0 = time.time()
+    for _ in range(reps):
+        np.add(a, 1.0, out=b)
+    return time.time() - t0
+
+
+def measure_bw_ceiling(cores: int, n: int = 16_000_000, reps: int = 10) -> float:
+    """Aggregate STREAMING memory bandwidth (bytes/sec) of `cores`
+    independent processes each adding over a 128 MB array (far beyond
+    L3): read 8 B + write 8 B per element, no compute to hide behind.
+    The throughput job moves ~50 B/page through scan + Arrow + JVM rows,
+    so whichever of compute/bandwidth ceiling scales WORSE between two
+    core counts is the binding hardware limit for that pair — on this VM
+    the 8->32 bandwidth pair measures ~0.5, which is what a ladder that
+    holds ~0.5 engine efficiency there is actually pinned against."""
+    import multiprocessing as mp
+
+    with mp.get_context("spawn").Pool(cores) as pool:
+        walls = pool.map(_bw_worker, [(n, reps)] * cores)
+    return cores * n * reps * 16 / max(walls)
 
 
 def run_scaling() -> None:
@@ -854,19 +893,18 @@ def run_scaling() -> None:
     ladder = tuple(
         int(x) for x in os.environ.get("SPARK_GRAFT_SCALING_PAIR", "2,8,32").split(",")
     )
-    # The ladder inflates the input 2x beyond the default bench (4000 vs
-    # 2000 replication, 20M pages): short top-level walls measure the
+    # The ladder inflates the input 4x beyond the default bench (8000 vs
+    # 2000 replication, 40M pages): short top-level walls measure the
     # ~0.5-1 s per-job fixed cost (submit, broadcast, wave scheduling,
     # collect) — NOT the engine — so the top level needs ~5 s+ walls for
-    # the ratio to be about the plan. With the round-4 honest full-encode
-    # job (~4M pages/s at local[32]) 20M pages gives ~5 s at the top and
-    # ~80 s at local[2]; the former x16000 choice predates that job shape
-    # and would cost ~5 min/pass at local[2]. A real 100 TB job is hours
-    # long; the ladder must be in the fixed-cost-free regime to say
-    # anything about it.
+    # the ratio to be about the plan. With the round-4 honest single-pass
+    # job (~9M pages/s best at local[32]) 40M pages gives ~5 s at the
+    # top and ~30 s at local[2]; the former x16000 choice predates that
+    # job shape. A real 100 TB job is hours long; the ladder must be in
+    # the fixed-cost-free regime to say anything about it.
     env = dict(
         os.environ,
-        SPARK_GRAFT_BENCH_REPEAT=os.environ.get("SPARK_GRAFT_SCALING_REPEAT", "4000"),
+        SPARK_GRAFT_BENCH_REPEAT=os.environ.get("SPARK_GRAFT_SCALING_REPEAT", "8000"),
     )
     results: dict[int, dict] = {}
     for _ in range(rounds):
@@ -883,18 +921,36 @@ def run_scaling() -> None:
             r = json.loads(line)
             if cores not in results or r["pages_per_sec"] > results[cores]["pages_per_sec"]:
                 results[cores] = r
-    ceilings = {c: measure_ceiling(c) for c in ladder}
+    # ceilings best-of-2: a single loaded-moment sample at the LOW level
+    # once produced a >1.0 "efficiency" — physically impossible, pure
+    # measurement distortion
+    ceilings = {
+        c: max(measure_ceiling(c) for _ in range(2)) for c in ladder
+    }
+    bw_ceilings = {
+        c: max(measure_bw_ceiling(c) for _ in range(2)) for c in ladder
+    }
     pairs = []
     for lo, hi in zip(ladder, ladder[1:]):
         eff = (results[hi]["pages_per_sec"] / results[lo]["pages_per_sec"]) / (hi / lo)
         c_eff = (ceilings[hi] / ceilings[lo]) / (hi / lo)
-        pairs.append({"lo": lo, "hi": hi, "eff": round(eff, 3), "ceiling_eff": round(c_eff, 3)})
+        b_eff = (bw_ceilings[hi] / bw_ceilings[lo]) / (hi / lo)
+        pairs.append(
+            {
+                "lo": lo,
+                "hi": hi,
+                "eff": round(eff, 3),
+                "ceiling_eff": round(c_eff, 3),
+                "bw_ceiling_eff": round(b_eff, 3),
+            }
+        )
     queries = {
         f"throughput_local{c}_pages_per_sec": results[c]["pages_per_sec"] for c in ladder
     }
     for p in pairs:
         queries[f"scaling_efficiency_{p['lo']}to{p['hi']}"] = p["eff"]
         queries[f"vm_ceiling_efficiency_{p['lo']}to{p['hi']}"] = p["ceiling_eff"]
+        queries[f"vm_bw_ceiling_efficiency_{p['lo']}to{p['hi']}"] = p["bw_ceiling_eff"]
     out = {
         "metric": "pages/sec S2 encode + covering containment join + rollup",
         "value": results[ladder[-1]]["wall_sec"],
@@ -904,25 +960,36 @@ def run_scaling() -> None:
         "detail": results,
     }
     print(json.dumps(out))
-    _write_bench_md(results, pairs, ladder, ceilings, env["SPARK_GRAFT_BENCH_REPEAT"])
+    _write_bench_md(
+        results, pairs, ladder, ceilings, bw_ceilings, env["SPARK_GRAFT_BENCH_REPEAT"]
+    )
 
 
 def _write_bench_md(
-    results: dict, pairs: list, ladder: tuple, ceilings: dict, repeat: str
+    results: dict,
+    pairs: list,
+    ladder: tuple,
+    ceilings: dict,
+    bw_ceilings: dict,
+    repeat: str,
 ) -> None:
     level_rows = "\n".join(
         f"| local[{c}] | {results[c]['wall_sec']} | {results[c]['pages_per_sec']:,} |"
         for c in ladder
     )
     pair_rows = "\n".join(
-        f"| local[{p['lo']}] -> local[{p['hi']}] | **{p['eff']}** | {p['ceiling_eff']} |"
+        f"| local[{p['lo']}] -> local[{p['hi']}] | **{p['eff']}** |"
+        f" {p['ceiling_eff']} | {p['bw_ceiling_eff']} |"
         for p in pairs
     )
     ceiling_rows = "\n".join(
-        f"| {c} procs | {ceilings[c]:,.0f} |" for c in ladder
+        f"| {c} procs | {ceilings[c]:,.0f} | {bw_ceilings[c] / 1e9:,.1f} |"
+        for c in ladder
     )
     ratio_txt = ", ".join(
-        f"{p['eff'] / p['ceiling_eff']:.2f} at {p['lo']}->{p['hi']}" for p in pairs
+        f"{p['eff'] / min(p['ceiling_eff'], p['bw_ceiling_eff']):.2f}"
+        f" at {p['lo']}->{p['hi']}"
+        for p in pairs
     )
     met = [p for p in pairs if p["eff"] >= 0.8]
     met_txt = (
@@ -938,13 +1005,21 @@ def _write_bench_md(
 North-rule evidence (BASELINE.json): same job, same input, multiple
 parallelism levels — the sandbox proxy for N vs 4N executors.
 
-Job: pages scan -> deterministic geotag -> vectorized S2 encode (level-30
-cell IDs via Arrow pandas UDF) -> broadcast covering containment join vs
-the 6 PIP boxes -> exact rect filter -> level-8 cell rollup.
+Job (the round-4 HONEST form — every page is S2-encoded; see
+BENCH/MICRO.md "never honest" for why the previous inner-join-only form
+measured only the ~17% of pages inside the boxes): one pass — pages scan
+-> vectorized S2 encode of EVERY page (level-30 cell IDs via Arrow
+pandas UDF; outer-join semantics make the rect predicate un-pushable, so
+the full-corpus encode is structural and plan-pinned) -> LEFT broadcast
+covering containment join vs the 6 PIP boxes (tag region-or-null) ->
+exact-rect matched flag -> level-8 heatmap rollup carrying page +
+matched counts, cross-checked against the nominal page count and the
+known join-row constant every pass.
 Input: {SF_DIR} documents x{repeat} replication
-= {results[ladder[-1]]["n_pages"]:,} pages (materialized parquet, untimed).
+= {results[ladder[-1]]["n_pages"]:,} pages (materialized parquet, untimed,
+shuffled layout, splits sized ~250k rows/task via `_tune_scan_splits`).
 Methodology: each level in a fresh subprocess; python workers pre-warmed;
-one untimed warm pass then {os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")} timed runs averaged; levels interleaved
+one untimed warm pass then {os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")} timed runs; levels interleaved
 across {os.environ.get("SPARK_GRAFT_SCALING_ROUNDS", "3")} rounds and the best pass per level kept (cancels bursty
 neighbor load on the shared VM); AQE off for these short stages (its
 per-stage barriers dominate ~5 s stages; long production jobs keep it on).
@@ -953,8 +1028,8 @@ per-stage barriers dominate ~5 s stages; long production jobs keep it on).
 |---|---|---|
 {level_rows}
 
-| N -> 4N pair | engine scaling efficiency | VM hardware ceiling |
-|---|---|---|
+| N -> 4N pair | engine scaling efficiency | VM compute ceiling | VM bandwidth ceiling |
+|---|---|---|---|
 {pair_rows}
 
 North-rule target: >= 0.8 between N and 4N **executors**.
@@ -964,34 +1039,36 @@ North-rule target: >= 0.8 between N and 4N **executors**.
 The criterion targets separate machines whose CPUs and memory bandwidth
 scale WITH the cluster. This sandbox is one shared VM: extra threads
 compete for the same memory bus and are taxed by hypervisor steal time.
-The ceiling column above is measured fresh each run by
-`bench.measure_ceiling()`: the pure numpy encode kernel in N INDEPENDENT
-python processes — no Spark, no I/O, no shuffle, nothing any engine
-could do better on this box:
+Both ceiling columns are measured fresh each run (best-of-2), with no
+Spark and nothing any engine could do better on this box:
+`bench.measure_ceiling()` — the pure numpy encode kernel in N
+INDEPENDENT processes on a cache-resident working set (the COMPUTE
+ceiling) — and `bench.measure_bw_ceiling()` — N independent processes
+streaming 128 MB arrays (the MEMORY-BANDWIDTH ceiling; the job moves
+~50 B/page through parquet decode + Arrow IPC + JVM rows, which the
+compute ceiling doesn't pay):
 
-| parallelism | ceiling encode ops/sec |
-|---|---|
+| parallelism | compute ceiling (encode ops/sec) | bandwidth ceiling (GB/s) |
+|---|---|---|
 {ceiling_rows}
 
-The engine can sit below even that ceiling because the measured job is
-scan-heavy (parquet decode + Arrow IPC are pure memory traffic, which
-the compute-only ceiling doesn't pay). The diagnostic is the
-engine/ceiling ratio per pair: {ratio_txt}. A serial stage or
-coordination bottleneck would make this ratio COLLAPSE as cores grow
-(Amdahl); a ratio that stays high at every pair means the scaling loss
-tracks the hardware, not the plan. On a real N -> 4N cluster the same
-plan adds no cross-executor coupling at all: the covering dim is
-broadcast, pages never shuffle before the map-side partial aggregate,
-and the final rollup exchange moves only per-cell partial counts —
-bandwidth scales with executors, so the cluster criterion is met by the
-same plan that is bandwidth-capped here.
+The binding limit per pair is whichever ceiling scales WORSE. The
+diagnostic is the engine/binding-ceiling ratio per pair: {ratio_txt}.
+A serial stage or coordination bottleneck would make this ratio COLLAPSE
+as cores grow (Amdahl); a ratio that stays high at every pair means the
+scaling loss tracks the hardware, not the plan. On a real N -> 4N
+cluster the same plan adds no cross-executor coupling at all: the
+covering dim is broadcast, pages never shuffle before the map-side
+partial aggregate, and the final rollup exchange moves only per-cell
+partial counts — compute AND bandwidth scale with executors, so the
+cluster criterion is met by the same plan that is bandwidth-capped here.
 
 Single-thread reference floor (BASELINE.md): ~114.5k encodes/sec —
 the engine sustains {results[any_c]["pages_per_sec"] / any_c:,.0f} pages/sec/core at local[{any_c}]
-(encode + join + rollup, not encode alone).
+(encode + join + rollup on every page, not encode alone).
 
 Reproduce: `python bench.py --scaling` (env: SPARK_GRAFT_SF_DIR,
-SPARK_GRAFT_BENCH_REPEAT, SPARK_GRAFT_SCALING_PAIR,
+SPARK_GRAFT_SCALING_REPEAT, SPARK_GRAFT_SCALING_PAIR,
 SPARK_GRAFT_SCALING_ROUNDS).
 """
     (REPO / "BENCH").mkdir(exist_ok=True)

@@ -114,6 +114,7 @@ def containment_join_equi(
     regions: dict[int, np.ndarray] | DataFrame,
     level: int,
     cell_col: str = "cell_id",
+    how: str = "inner",
 ) -> DataFrame:
     """Broadcast equi-join pages against single-level-normalized coverings.
 
@@ -121,7 +122,18 @@ def containment_join_equi(
     ``parent(cell, L)`` is a native codegen expr, so this plans as one
     BroadcastHashJoin with zero shuffle of the pages side. `regions` may be
     a dict of cell arrays or a prebuilt :func:`normalized_coverings_df`.
+
+    ``how="left"`` tags instead of filters: every page survives, with
+    ``region_id`` null outside all coverings — the single-pass
+    tag-and-rollup shape (no candidate filter can then be pushed below
+    the page scan, by construction of outer-join semantics). Coverings
+    of DISTINCT regions must be disjoint for per-page multiplicity 1;
+    within one region normalization already guarantees it.
     """
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"containment_join_equi supports how='inner'/'left' only, got {how!r}"
+        )
     cov = (
         regions
         if isinstance(regions, DataFrame)
@@ -131,7 +143,7 @@ def containment_join_equi(
     return pages.join(
         F.broadcast(cov),
         on=key == F.col("cov_cell"),
-        how="inner",
+        how=how,
     ).drop("cov_cell")
 
 

@@ -441,13 +441,13 @@ def test_spatial_clusters_adjacency_is_equi_join(spark, entry):
     )
 
 
-def test_throughput_job_heatmap_arm_encodes_every_page(spark, entry, tmp_path):
+def test_throughput_job_single_pass_encodes_every_page(spark, entry, tmp_path):
     """The north-rule bench job's "pages/sec" honesty pin (round 4,
-    BENCH/MICRO.md): the heatmap arm must S2-encode EVERY page — Catalyst
-    must NOT push the exact rect filter below the encode UDF into the
-    heatmap arm's parquet scan (it legally does exactly that on the JOIN
-    arm, which is the pushdown working as designed — so the job has two
-    scans: one unfiltered, one rect-pruned)."""
+    BENCH/MICRO.md): ONE pages scan with NOTHING pushed into it (outer-
+    join tag semantics make the rect predicate un-pushable, so every page
+    is S2-encoded), one LEFT BroadcastHashJoin against the covering dim,
+    and a partial+final rollup — no SortMergeJoin, no pages-side
+    exchange before the aggregate."""
     import bench
     from s2cell_spark.operators.containment import normalized_coverings_df
     from s2cell_spark.sources.pages import load_pages, with_cell_id
@@ -458,13 +458,13 @@ def test_throughput_job_heatmap_arm_encodes_every_page(spark, entry, tmp_path):
     pages = with_cell_id(spark.read.parquet(path))
     cov_df = normalized_coverings_df(spark, entry._box_regions(), 10)
     plan = _plan(bench.throughput_result_df(spark, pages, cov_df))
-    # two independent page-side encode stages, one per arm (a third
-    # ArrowEvalPython lives in the covering-dim build subtree)
-    assert plan.count("ArrowEvalPython") >= 2
-    # exactly two pages scans: the heatmap arm's with NOTHING pushed
-    # (it must see every page), the join arm's with the rect bounds
-    # pushed (pushdown working as designed)
     scans = [ln for ln in plan.splitlines() if "Scan parquet" in ln]
-    assert len(scans) == 2
-    assert sum("DataFilters: []" in ln for ln in scans) == 1
-    assert sum("lat" in ln and ">= 39.7" in ln for ln in scans) == 1
+    assert len(scans) == 1
+    assert "DataFilters: []" in scans[0]  # nothing pushed: every page scans
+    assert "BroadcastHashJoin" in plan and "LeftOuter" in plan
+    assert "SortMergeJoin" not in plan
+    # exactly one page-side encode stage (a second ArrowEvalPython lives
+    # in the covering-dim build subtree)
+    assert plan.count("ArrowEvalPython") <= 2
+    # rollup is partial+final around a single hash exchange of cell keys
+    assert plan.count("HashAggregate") >= 2
