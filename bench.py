@@ -376,8 +376,13 @@ def run_default() -> None:
     # throughput job: the north-rule metric (encode + containment join +
     # rollup) over the INFLATED at-rest pages table — the raw sf table is
     # small enough that fixed per-query overhead, not the engine, would be
-    # what's measured. Same job as `--scaling` (shared _make_throughput_job).
-    repeat = int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "2000"))
+    # what's measured. Same job as `--scaling` (shared _make_throughput_job),
+    # at the SAME x8000 (40M-page) sizing: at the old x2000 the best wall
+    # was ~1.6 s, of which per-job fixed cost (scheduler, Arrow stream
+    # setup, broadcast) was ~35% — the recorded pages/sec measured launch
+    # overhead, not the plan (6.3M in-session at x2000 vs 10.9M for the
+    # identical job at x8000 on the same day's ladder).
+    repeat = int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "8000"))
     path, total_pages = _materialize_bench_input(spark, repeat)
     _tune_scan_splits(spark, path, total_pages)
     throughput_job = _make_throughput_job(spark, path)
