@@ -377,12 +377,12 @@ def run_default() -> None:
     # rollup) over the INFLATED at-rest pages table — the raw sf table is
     # small enough that fixed per-query overhead, not the engine, would be
     # what's measured. Same job as `--scaling` (shared _make_throughput_job),
-    # at the SAME x8000 (40M-page) sizing: at the old x2000 the best wall
-    # was ~1.6 s, of which per-job fixed cost (scheduler, Arrow stream
-    # setup, broadcast) was ~35% — the recorded pages/sec measured launch
-    # overhead, not the plan (6.3M in-session at x2000 vs 10.9M for the
-    # identical job at x8000 on the same day's ladder).
-    repeat = int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "8000"))
+    # at the SAME x16000 (80M-page) sizing: per-job fixed cost (scheduler,
+    # Arrow stream setup, broadcast) is ~0.5-1 s regardless of size, so
+    # the recorded pages/sec keeps rising with input until the wall is
+    # ~5 s+ — measured same-day at local[32]: 6.3M at x2000 (1.6 s wall),
+    # 11.3M at x8000 (3.5 s), 15.8M at x16000 (5.1 s, ladder best).
+    repeat = int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "16000"))
     path, total_pages = _materialize_bench_input(spark, repeat)
     _tune_scan_splits(spark, path, total_pages)
     throughput_job = _make_throughput_job(spark, path)
@@ -898,18 +898,20 @@ def run_scaling() -> None:
     ladder = tuple(
         int(x) for x in os.environ.get("SPARK_GRAFT_SCALING_PAIR", "2,8,32").split(",")
     )
-    # The ladder inflates the input 4x beyond the default bench (8000 vs
-    # 2000 replication, 40M pages): short top-level walls measure the
+    # Ladder input x16000 = 80M pages: short top-level walls measure the
     # ~0.5-1 s per-job fixed cost (submit, broadcast, wave scheduling,
     # collect) — NOT the engine — so the top level needs ~5 s+ walls for
-    # the ratio to be about the plan. With the round-4 honest single-pass
-    # job (~9M pages/s best at local[32]) 40M pages gives ~5 s at the
-    # top and ~30 s at local[2]; the former x16000 choice predates that
-    # job shape. A real 100 TB job is hours long; the ladder must be in
-    # the fixed-cost-free regime to say anything about it.
+    # the ratio to be about the plan. Measured same-day at x8000 (40M,
+    # local[32] wall 3.66 s) vs x16000 (80M, wall 5.06 s): the 2->8 pair
+    # moved 0.833 -> 0.927 and 8->32 moved 0.402 -> 0.497 purely from
+    # amortizing that fixed cost — at x16000 the 8->32 engine ratio sits
+    # at 97% of the box's own measured memory-bandwidth scaling (0.512),
+    # i.e. the remaining loss is the shared bus, not the plan. A real
+    # 100 TB job is hours long; the ladder must be in the fixed-cost-free
+    # regime to say anything about it.
     env = dict(
         os.environ,
-        SPARK_GRAFT_BENCH_REPEAT=os.environ.get("SPARK_GRAFT_SCALING_REPEAT", "8000"),
+        SPARK_GRAFT_BENCH_REPEAT=os.environ.get("SPARK_GRAFT_SCALING_REPEAT", "16000"),
     )
     results: dict[int, dict] = {}
     for _ in range(rounds):
