@@ -382,7 +382,9 @@ def run_default() -> None:
     # the recorded pages/sec keeps rising with input until the wall is
     # ~5 s+ — measured same-day at local[32]: 6.3M at x2000 (1.6 s wall),
     # 11.3M at x8000 (3.5 s), 15.8M at x16000 (5.1 s, ladder best).
-    repeat = int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "16000"))
+    repeat = int(
+        os.environ.get("SPARK_GRAFT_BENCH_REPEAT", _THROUGHPUT_REPEAT_DEFAULT)
+    )
     path, total_pages = _materialize_bench_input(spark, repeat)
     _tune_scan_splits(spark, path, total_pages)
     throughput_job = _make_throughput_job(spark, path)
@@ -649,6 +651,16 @@ SPARK_GRAFT_BENCH_PASSES, SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS).
 # means in rows before trusting it; never hand the scheduler confetti.
 _THROUGHPUT_ROWS_PER_TASK = 250_000
 _THROUGHPUT_FILES = 32
+# Single source of truth for the default inflation factor — default mode,
+# --throughput-once, and the ladder all size at x16000 (80M pages): below
+# ~5 s wall the measurement is per-job fixed cost, not the plan
+# (BENCH/MICRO.md "fixed-cost amortization").
+_THROUGHPUT_REPEAT_DEFAULT = "16000"
+# Layout version of the materialized bench table: bump whenever
+# _materialize_bench_input's physical layout changes (v2 = repartition
+# before crossJoin + post-inflation shuffle) so a stale /tmp table from an
+# older layout is never silently reused via its _SUCCESS marker.
+_THROUGHPUT_LAYOUT_V = "v2"
 
 
 def _tune_scan_splits(spark, path: str, total_rows: int) -> int:
@@ -754,7 +766,10 @@ def _materialize_bench_input(spark, repeat: int) -> tuple[str, int]:
     from s2cell_spark.sources.pages import load_pages
 
     tag = SF_DIR.strip("/").replace("/", "_")
-    path = f"/tmp/s2bench_pages_{tag}_x{repeat}_p{_THROUGHPUT_FILES}"
+    path = (
+        f"/tmp/s2bench_pages_{tag}_x{repeat}"
+        f"_p{_THROUGHPUT_FILES}_{_THROUGHPUT_LAYOUT_V}"
+    )
     marker = Path(path) / "_SUCCESS"
     base = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
     if not marker.exists():
@@ -791,7 +806,9 @@ def run_throughput_once(cores: int) -> None:
 
     spark = make_spark(cores)
     spark.sparkContext.setLogLevel("ERROR")
-    repeat = int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "2000"))
+    repeat = int(
+        os.environ.get("SPARK_GRAFT_BENCH_REPEAT", _THROUGHPUT_REPEAT_DEFAULT)
+    )
     path, total_pages = _materialize_bench_input(spark, repeat)
     _tune_scan_splits(spark, path, total_pages)
     # warm EVERY python worker (one per core): a UDF job with cores*4 tasks
@@ -911,7 +928,7 @@ def run_scaling() -> None:
     # regime to say anything about it.
     env = dict(
         os.environ,
-        SPARK_GRAFT_BENCH_REPEAT=os.environ.get("SPARK_GRAFT_SCALING_REPEAT", "16000"),
+        SPARK_GRAFT_BENCH_REPEAT=os.environ.get("SPARK_GRAFT_SCALING_REPEAT", _THROUGHPUT_REPEAT_DEFAULT),
     )
     results: dict[int, dict] = {}
     for _ in range(rounds):

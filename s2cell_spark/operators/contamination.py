@@ -81,9 +81,11 @@ def ngram_contamination(
         .groupBy("doc", "n_shingles")
         .agg(F.count("*").cast("long").alias("n_matched"))
     )
-    contam_bp = F.floor(
-        (F.lit(10000) * F.col("n_matched")) / F.col("n_shingles")
-    ).cast("long")
+    # Integer `div` (not floor over DOUBLE division) so the arithmetic is
+    # int64-exact by construction on both engines (DuckDB oracle uses
+    # `//`) — the module convention is integer-exact parity, not
+    # equivalent-at-realistic-sizes.
+    contam_bp = F.expr("(10000 * n_matched) div n_shingles").cast("long")
     return matched.select(
         F.col("doc").cast("long").alias("doc_id"),
         "n_shingles",

@@ -85,6 +85,7 @@ def stratified_split(
     salt: str = "",
     out_col: str = "split",
     rank_buckets: int = 256,
+    max_strata: int = 10_000,
 ) -> DataFrame:
     """EXACT per-stratum quotas: within every `strata_col` group the
     split sizes are exactly ``floor(n_g * bp / 10000)`` (remainder to the
@@ -114,6 +115,14 @@ def stratified_split(
     hash_split, appending rows DOES reshuffle ranks near quota
     boundaries (exact quotas are inherently append-sensitive); use
     hash_split when append-stability matters more than exactness.
+
+    The driver collect in step 2-3 is bounded by
+    ``n_strata * rank_buckets`` rows; ``max_strata`` caps it — exact
+    quotas are for LOW-cardinality strata (language, domain bucket). A
+    high-cardinality stratum (url prefix, raw domain) raises a clean
+    ValueError pointing at :func:`hash_split`, which needs no quota
+    metadata at any cardinality. NULL strata form their own stratum
+    (null-safe join), matching SQL GROUP BY semantics.
     """
     if sum(splits.values()) != BUCKETS:
         raise ValueError(
@@ -127,12 +136,25 @@ def stratified_split(
     t = df.withColumn("_h", hash31(F.col(id_col), salt)).withColumn(
         "_rb", F.shiftright(F.col("_h"), shift)
     )
+    # limit() bounds the driver-side collect; the +1 row is the overflow
+    # sentinel that turns a too-wide stratum column into a clean error
+    # instead of a multi-GB driver collect.
+    cap = max_strata * rank_buckets
     counts = (
-        t.groupBy(strata_col, "_rb").agg(F.count("*").alias("_c")).collect()
+        t.groupBy(strata_col, "_rb")
+        .agg(F.count("*").alias("_c"))
+        .limit(cap + 1)
+        .collect()
     )
     per: dict = {}
     for row in counts:
         per.setdefault(row[strata_col], []).append((row["_rb"], row["_c"]))
+    if len(counts) > cap or len(per) > max_strata:
+        raise ValueError(
+            f"stratified_split: >{max_strata} distinct {strata_col!r} strata "
+            "(driver quota metadata would be unbounded); use hash_split for "
+            "high-cardinality strata or raise max_strata"
+        )
     lit_rows = []
     for g, bl in per.items():
         bl.sort()
@@ -141,10 +163,26 @@ def stratified_split(
         for rb, c in bl:
             lit_rows.append((g, int(rb), off, n_g))
             off += c
-    offs = df.sparkSession.createDataFrame(
-        lit_rows, schema=f"{strata_col} string, _rb long, _off long, _n long"
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    offs_schema = StructType(
+        [
+            StructField("_g", df.schema[strata_col].dataType, True),
+            StructField("_rb2", LongType(), False),
+            StructField("_off", LongType(), False),
+            StructField("_n", LongType(), False),
+        ]
     )
-    t = t.join(F.broadcast(offs), on=[strata_col, "_rb"], how="inner")
+    offs = df.sparkSession.createDataFrame(lit_rows, schema=offs_schema)
+    # eqNullSafe so a NULL stratum matches its own quota row (a plain
+    # `on=[strata_col, ...]` join silently drops every null-stratum row —
+    # a split operator must label ALL rows).
+    t = t.join(
+        F.broadcast(offs),
+        on=F.col(strata_col).eqNullSafe(F.col("_g"))
+        & (F.col("_rb") == F.col("_rb2")),
+        how="inner",
+    ).drop("_g", "_rb2")
     w = Window.partitionBy(strata_col, "_rb").orderBy("_h", id_col)
     rank = F.col("_off") + F.row_number().over(w) - 1  # 0-based stratum rank
     expr = None

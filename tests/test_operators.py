@@ -1895,6 +1895,52 @@ def test_stratified_split_exact_quotas_and_layout_invariance(spark):
         stratified_split(df, splits, strata_col="lang", rank_buckets=3)
 
 
+def test_stratified_split_null_strata_nonstring_and_cardinality_guard(spark):
+    """A NULL stratum is a stratum (its rows must NOT be dropped by the
+    quota join), non-string strata columns work (offsets schema derives
+    from the input dtype), and a pathological high-cardinality stratum
+    raises a clean ValueError instead of an unbounded driver collect."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from s2cell_spark.operators.sampling import stratified_split
+
+    splits = {"train": 9000, "val": 500, "test": 500}
+    # NULL stratum: 200 of 1200 rows carry a NULL lang
+    df = spark.range(1200).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 1000, "en").alias("lang"),
+    )
+    out = stratified_split(df, splits, strata_col="lang")
+    assert out.count() == 1200  # no row lost to the quota join
+    null_counts = {
+        r["split"]: r["n"]
+        for r in out.filter(F.col("lang").isNull())
+        .groupBy("split")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert null_counts == {"train": 180, "val": 10, "test": 10}
+    # non-string stratum column (long): schema derives from input dtype
+    dfi = spark.range(400).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 2).alias("bucket")
+    )
+    outi = stratified_split(dfi, splits, strata_col="bucket")
+    assert outi.count() == 400
+    assert outi.schema["bucket"].dataType.typeName() == "long"
+    per = {
+        (r["bucket"], r["split"]): r["n"]
+        for r in outi.groupBy("bucket", "split").agg(F.count("*").alias("n")).collect()
+    }
+    assert per[(0, "train")] == 180 and per[(1, "train")] == 180
+    # high-cardinality stratum: clean error, not a multi-GB collect
+    wide = spark.range(50).select(
+        F.col("id").alias("doc_id"), F.col("id").cast("string").alias("url")
+    )
+    with _pytest.raises(ValueError, match="hash_split"):
+        stratified_split(wide, splits, strata_col="url", max_strata=10)
+
+
 def test_ngram_contamination_exact_counts(spark):
     """Known overlap geometry: a verbatim benchmark copy (100% of its
     shingles matched), a partial leak (1 of 4), a clean doc (absent from
