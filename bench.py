@@ -93,6 +93,18 @@ def headline_names(qs: dict) -> list[str]:
     return [n for n in HEADLINE if n in qs] + [n for n in qs if n not in HEADLINE]
 
 
+def bench_queries() -> dict:
+    """queries() plus the sketch-only production rollup, which is
+    deliberately NOT in the driver registry (no SQL oracle → permanent
+    red artifact cell) but stays benched every round for r4→r5
+    comparability."""
+    import __spark_entry__ as E
+
+    qs = dict(E.queries())
+    qs["cell_distinct_urls_hll_prod"] = E._q_cell_distinct_hll_prod
+    return qs
+
+
 def make_spark(cores: int, shuffle_partitions: int | None = None):
     from pyspark.sql import SparkSession
 
@@ -349,7 +361,7 @@ def run_default() -> None:
 
     spark = make_spark(CPUS)
     spark.sparkContext.setLogLevel("ERROR")
-    qs = E.queries()
+    qs = bench_queries()
     n_pages = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
     # warm every python worker (numpy/pandas imports) so the first
     # UDF-bearing query's timing is the query, not worker spin-up
@@ -514,7 +526,7 @@ def run_textscale() -> None:
     spark = make_spark(CPUS)
     spark.sparkContext.setLogLevel("ERROR")
     root, n_docs, n_vecs = _materialize_text_input(spark, rep)
-    qs = E.queries()
+    qs = bench_queries()
     t1: dict[str, float] = {}
     tN: dict[str, float] = {}
     rows: dict[str, int] = {}

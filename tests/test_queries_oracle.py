@@ -59,14 +59,15 @@ MIN_ROWS = {
     "dup_clusters": 800,  # jaccard + minhash arms x ~500
     "cc_pipeline": 100,
     "colocated_pairs": 250,
-    "cell_distinct_urls_hll_prod": 150,
 }
 
-# Queries with NO SQL oracle by design (the driver records a weaker
-# rows-only check): sketch estimates are engine-internal. Keep this set
-# minimal — every addition needs an in-repo value-exactness story (here:
-# cell_distinct_urls_hll bound-checks the identical sketch expression).
-ROWS_ONLY = {"cell_distinct_urls_hll_prod"}
+# Query callables with NO SQL oracle by design, kept OUT of the
+# queries() registry (a registry entry without an oracle is a permanent
+# red rows-only cell in the driver artifact — round-4 verdict): sketch
+# estimates are engine-internal. Floor-tested and benched here instead.
+# Keep minimal — every addition needs an in-repo value-exactness story
+# (here: cell_distinct_urls_hll bound-checks the identical expression).
+ROWS_ONLY = {"cell_distinct_urls_hll_prod": (E._q_cell_distinct_hll_prod, 150)}
 
 
 @pytest.mark.parametrize("name", sorted(ORACLES))
@@ -79,14 +80,15 @@ def test_query_matches_oracle_and_nonempty(spark, name):
 
 
 def test_every_query_has_an_oracle():
-    assert set(QUERIES) == set(ORACLES) | ROWS_ONLY
-    assert ROWS_ONLY.isdisjoint(ORACLES)
+    assert set(QUERIES) == set(ORACLES)
+    assert set(ROWS_ONLY).isdisjoint(QUERIES)
 
 
 @pytest.mark.parametrize("name", sorted(ROWS_ONLY))
 def test_rows_only_query_runs_and_meets_floor(spark, name):
-    n = QUERIES[name](spark, SF_CORRECT).count()
-    assert n >= MIN_ROWS.get(name, 1), f"{name}: only {n} rows at sf0.01"
+    fn, floor = ROWS_ONLY[name]
+    n = fn(spark, SF_CORRECT).count()
+    assert n >= floor, f"{name}: only {n} rows at sf0.01"
 
 
 def test_registry_stays_under_driver_sweep_cap():
