@@ -165,6 +165,45 @@ def _box_regions(max_level: int = 10, min_emit_level: int = 6):
     }
 
 
+def _bulk_polygons(n: int = 120) -> "dict[int, list[list[tuple[float, float]]]]":
+    """`n` single-ring CONCAVE star polygons, deterministically placed —
+    the bulk-PIP fixture (round-4 verdict "what's missing" #1: covering a
+    polygons TABLE executor-side). Even indices orbit the 8 geotag city
+    anchors (pages cluster there, so every SF yields matches); odd
+    indices spread quasi-uniformly via the same Knuth multipliers the
+    geotag uses. Vertices are plain Python floats baked as exact literals
+    into BOTH the Spark frame and the DuckDB VALUES table (_flit), so no
+    cross-engine float derivation exists. Radii alternate 0.6-1.05 deg
+    (star => concave => the polygon-aware coverer's edge tests are
+    actually exercised); centers stay within lat ±71 / lon ±171 (planar
+    semantics — no pole / antimeridian polygons)."""
+    import math as _m
+
+    cities = [
+        (40.7, -74.0), (51.5, -0.1), (35.7, 139.7), (-33.9, 18.4),
+        (48.9, 2.4), (19.4, -99.1), (37.8, -122.4), (-23.5, -46.6),
+    ]
+    polys: dict[int, list[list[tuple[float, float]]]] = {}
+    for idx in range(n):
+        if idx % 2 == 0:
+            base = cities[(idx // 2) % 8]
+            clat = base[0] + ((idx * 37) % 21 - 10) * 0.08
+            clon = base[1] + ((idx * 53) % 21 - 10) * 0.08
+        else:
+            clat = ((idx * 2654435761) % 140001) / 1000.0 - 70.0
+            clon = ((idx * 1597334677) % 340001) / 1000.0 - 170.0
+        k = 8 + (idx % 5)
+        ring = []
+        for v in range(k):
+            ang = 2.0 * _m.pi * v / k
+            r = 0.6 + 0.45 * ((idx * 7 + v * 13) % 9) / 8.0
+            ring.append(
+                (round(clat + r * _m.cos(ang), 6), round(clon + r * _m.sin(ang), 6))
+            )
+        polys[idx] = [ring]
+    return polys
+
+
 def _exact_box_cond() -> Column:
     """The exact-PIP predicate for the rectangle regions as a Column —
     region-specific bounds in one codegen OR-chain (usable as a filter or,
@@ -290,6 +329,44 @@ def _q_pip_polygons(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("region_id").cast("long").alias("region_id"),
         F.col("doc_id").cast("long").alias("doc_id"),
+    )
+
+
+def _q_pip_regions_bulk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bulk PIP against a polygons TABLE (120 generated star polygons):
+    coverings computed on the EXECUTORS (mapInPandas over the polygon
+    frame — no per-polygon driver BFS), normalized natively, covering
+    equi-join, then a NATIVE higher-order-function ray-cast over the
+    region's vertex arrays carried by the join (no per-region UDF
+    closures — the per-region-closure pattern of _q_pip_polygons cannot
+    scale past a handful of regions). operators/bulkcover.py."""
+    from s2cell_spark.operators.bulkcover import RINGS_TYPE, bulk_pip_join
+
+    rows = [
+        (rid, [[(la, lo) for la, lo in ring] for ring in rings])
+        for rid, rings in _bulk_polygons().items()
+    ]
+    polys = spark.createDataFrame(
+        rows, schema=f"region_id long, rings {RINGS_TYPE}"
+    ).repartition(8)
+    pages = _pages_with_cells(spark, sf_dir)
+    out = bulk_pip_join(pages, polys, level=10, max_level=10)
+    return out.select(
+        F.col("region_id").cast("long").alias("region_id"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+    )
+
+
+def _q_pip_polygons_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polygon PIP entry, two arms under one registry slot (cap
+    invariant): `fixture` = the 2-region concave/hole pipeline with
+    driver coverings + numpy-UDF exact stage; `bulk` = the 120-polygon
+    distributed pipeline (executor coverings + native ray-cast)."""
+    return _union_variants(
+        {
+            "fixture": _q_pip_polygons(spark, sf_dir),
+            "bulk": _q_pip_regions_bulk(spark, sf_dir),
+        }
     )
 
 
@@ -1807,7 +1884,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_decode": _q_cell_decode,
         "events_window_1h": _q_events_window,
         "pip_boxes": _q_pip_all,
-        "pip_polygons": _q_pip_polygons,
+        "pip_polygons": _q_pip_polygons_all,
         "knn_pages": _q_knn,
         "knn_join_bulk": _q_knn_join,
         "within_radius": _q_within_radius_all,
@@ -1907,6 +1984,36 @@ def _pip_polygons_oracle() -> str:
             f"FROM pages WHERE ({' + '.join(terms)}) % 2 = 1"
         )
     return f"{_PAGES_CTE}\n" + "\nUNION ALL\n".join(arms)
+
+
+def _pip_regions_bulk_oracle() -> str:
+    """Crossing-PARITY form of the even-odd ray cast over the generated
+    polygon table: join pages x crossing edges, keep (region, doc) pairs
+    with an ODD crossing count. Identical arithmetic term order to
+    bulkcover.pip_parity_expr (and the fixture UDF). The covering prune
+    is a superset, so the oracle needs no covering."""
+    rows = []
+    for rid, rings in _bulk_polygons().items():
+        for ring in rings:
+            k = len(ring)
+            for a in range(k):
+                y1, x1 = ring[a]
+                y2, x2 = ring[(a + 1) % k]
+                if y1 == y2:
+                    continue  # engine skips horizontal edges
+                rows.append(
+                    f"({rid}, {_flit(y1)}, {_flit(x1)}, {_flit(y2)}, {_flit(x2)})"
+                )
+    edges = ", ".join(rows)
+    return f"""{_PAGES_CTE},
+edges(region_id, y1, x1, y2, x2) AS (VALUES {edges})
+SELECT CAST(e.region_id AS BIGINT) AS region_id, CAST(p.doc_id AS BIGINT) AS doc_id
+FROM pages p JOIN edges e
+  ON ((e.y1 > p.lat) <> (e.y2 > p.lat))
+ AND p.lon < (e.x2 - e.x1) * (p.lat - e.y1) / (e.y2 - e.y1) + e.x1
+GROUP BY e.region_id, p.doc_id
+HAVING count(*) % 2 = 1
+"""
 
 
 def _knn_oracle() -> str:
@@ -2933,7 +3040,12 @@ def oracle_sql() -> dict[str, str]:
         "cell_decode": _cell_decode_oracle(),
         "events_window_1h": _events_window_oracle(),
         "pip_boxes": _variant_oracle({"equi": pip, "range": pip, "salted": pip}),
-        "pip_polygons": _pip_polygons_oracle(),
+        "pip_polygons": _variant_oracle(
+            {
+                "fixture": _pip_polygons_oracle(),
+                "bulk": _pip_regions_bulk_oracle(),
+            }
+        ),
         "knn_pages": _knn_oracle(),
         "knn_join_bulk": _knn_join_oracle(),
         "within_radius": _variant_oracle(

@@ -75,17 +75,27 @@ def normalized_coverings_df(
     """(region_id, cov_cell) at a single level — the broadcast side of the
     equi strategy. Build once per query; reusable across executions.
 
-    Only the (small) mixed-level covering ships driver->JVM; the expansion
-    to 4^(level - l) single-level descendants runs NATIVELY via
+    Only the (small) mixed-level covering ships driver->JVM; the
+    single-level expansion is :func:`normalize_covering_df` (fully
+    native). For a covering computed DISTRIBUTED from a polygons TABLE
+    (no driver trip at all) see ``operators.bulkcover.cover_polygons``.
+    """
+    return normalize_covering_df(coverings_df(spark, regions), level)
+
+
+def normalize_covering_df(cov_raw: DataFrame, level: int) -> DataFrame:
+    """Normalize a mixed-level covering frame (region_id, cell_id, level)
+    to (region_id, cov_cell) at ONE level, entirely natively.
+
+    The expansion to 4^(level - l) single-level descendants runs via
     ``explode(sequence(first_child, last_child, step))`` — level-L cells
     under an ancestor are consecutive IDs exactly ``2*lsb(L)`` apart
-    (SURVEY.md §1.1 range property). Shipping the expanded set instead
-    (10^5+ rows through the driver) costs seconds per query and grows
-    with covering size; this stays proportional to the RAW covering.
-    Signed-long order is safe: a covering cell's descendants share its
-    face, so the sequence never crosses the face-3/4 sign boundary.
+    (SURVEY.md §1.1 range property). Nothing ships through the driver,
+    so the input may be any size (e.g. the executor-side covering of a
+    10^6-polygon table). Signed-long order is safe: a covering cell's
+    descendants share its face, so the sequence never crosses the
+    face-3/4 sign boundary.
     """
-    cov_raw = coverings_df(spark, regions)  # mixed levels, small
     lsb = 1 << (2 * (30 - level))
     step = 2 * lsb
     cell = F.col("cell_id")

@@ -2084,3 +2084,56 @@ def test_weighted_sample_rates_layout_invariance_and_edges(spark):
     assert full.filter((F.col("doc_id") % 3 == 2)).count() == n_class2
     with _pytest.raises(ValueError):
         weighted_sample(df, "w_bp", rate_bp=10001)
+
+
+def test_bulk_pip_join_matches_driver_pipeline(spark):
+    """bulk_pip_join (executor coverings + native ray-cast) returns the
+    IDENTICAL (region, doc) set as the driver-side pipeline (per-region
+    covering dict + numpy-UDF exact stage) — including a multi-ring
+    region whose second ring is a HOLE (even-odd)."""
+    from s2cell_spark.operators.bulkcover import RINGS_TYPE, bulk_pip_join
+
+    regions = {
+        0: [[(45.0, -5.0), (55.0, 0.0), (50.0, 5.0), (55.0, 10.0),
+             (45.0, 15.0), (48.0, 5.0)]],
+        1: [[(-15.0, 5.0), (15.0, 5.0), (15.0, 35.0), (-15.0, 35.0)],
+            [(-5.0, 15.0), (5.0, 15.0), (5.0, 25.0), (-5.0, 25.0)]],
+        2: [[(39.5, -75.5), (42.0, -74.0), (39.5, -72.5), (40.7, -74.0)]],
+    }
+    pages = with_cell_id(load_pages(spark, SF_CORRECT))
+    # driver-side truth: per-region covering + numpy PIP UDF
+    want = set()
+    cov = {
+        rid: COV.polygon_covering([np.asarray(r) for r in rings], max_level=10)
+        for rid, rings in regions.items()
+    }
+    joined = CJ.containment_join_equi(pages, spark, cov, level=10)
+    for rid, rings in regions.items():
+        pip = CJ.point_in_polygon_udf([np.asarray(r) for r in rings])
+        want |= {
+            (rid, r["doc_id"])
+            for r in joined.filter(F.col("region_id") == rid)
+            .filter(pip(F.col("lat"), F.col("lon")))
+            .select("doc_id")
+            .collect()
+        }
+    polys = spark.createDataFrame(
+        [(rid, rings) for rid, rings in regions.items()],
+        schema=f"region_id long, rings {RINGS_TYPE}",
+    ).repartition(3)
+    got = {
+        (r["region_id"], r["doc_id"])
+        for r in bulk_pip_join(pages, polys, level=10, max_level=10)
+        .select("region_id", "doc_id")
+        .collect()
+    }
+    assert got == want and len(got) > 0
+    # hole actually excluded: a page inside ring 2 of region 1 never appears
+    inside_hole = {
+        r["doc_id"]
+        for r in pages.filter(
+            (F.col("lat") > -5) & (F.col("lat") < 5)
+            & (F.col("lon") > 15) & (F.col("lon") < 25)
+        ).select("doc_id").collect()
+    }
+    assert inside_hole and not {(1, d) for d in inside_hole} & got

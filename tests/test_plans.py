@@ -468,3 +468,24 @@ def test_throughput_job_single_pass_encodes_every_page(spark, entry, tmp_path):
     assert plan.count("ArrowEvalPython") <= 2
     # rollup is partial+final around a single hash exchange of cell keys
     assert plan.count("HashAggregate") >= 2
+
+
+def test_bulk_pip_covering_runs_on_executors_and_exact_stage_is_native(spark, entry):
+    """The bulk-PIP pipeline's scale contract: the polygon coverings are
+    an EXECUTOR stage (MapInPandas over the polygons frame, below a
+    broadcast — never a per-polygon driver loop), the exact ray-cast is
+    a native higher-order-function filter (no second Python node — the
+    only ArrowEvalPython is the pages S2-encode kernel), and the pages
+    side joins by broadcast with no sort-merge anywhere."""
+    plan = _plan(entry._q_pip_regions_bulk(spark, SF))
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan
+    assert plan.count("ArrowEvalPython") == 1
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "NestedLoop" not in plan
+    # every hash exchange belongs to the (tiny) covering side's dedup —
+    # the pages side must never hash-partition (its key columns would
+    # appear in the exchange line)
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "doc_id" not in line and "url" not in line

@@ -24,7 +24,7 @@ MIN_ROWS = {
     "s2_bitops": 400,
     "cell_decode": 400,
     "pip_boxes": 150,  # 3 row-identical variant arms x ~50
-    "pip_polygons": 20,
+    "pip_polygons": 250,  # fixture (~52) + bulk 120-polygon (~560) arms
     "knn_pages": 30,
     "knn_join_bulk": 20,
     "neighbors_interior": 800,
