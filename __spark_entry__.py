@@ -395,9 +395,17 @@ def _q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pages = _pages_with_cells(spark, sf_dir)
     size = 1 << (30 - KNNJ_LEVEL)
-    parent = S2F.cell_id_to_parent_cell_id(F.col("cell_id"), KNNJ_LEVEL)
+    # the interior filter below references _fij 4x; derive it from the
+    # OPAQUE pandas-UDF encode (bit-identical to the native arm), not
+    # from pages' native cell_id — a filter on a native-cell derivation
+    # would be pushdown-substituted through the encode stack and explode
+    # the plan (CLAUDE.md native-cell filter-pushdown trap). The query
+    # side is KNNJ_NQ rows; the UDF costs nothing here.
+    parent = S2F.cell_id_to_parent_cell_id(
+        S2F.lat_lon_to_cell_id(F.col("lat"), F.col("lon"), 30), KNNJ_LEVEL
+    )
     qbase = (
-        pages.filter(F.col("doc_id") < KNNJ_NQ)
+        load_pages(spark, sf_dir).filter(F.col("doc_id") < KNNJ_NQ)
         .withColumn("_fij", S2F.s2_cell_id_to_face_ij(parent))
         .filter(
             (F.col("_fij.i") >= size)
@@ -1289,9 +1297,18 @@ def _q_cc_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             Window.partitionBy(F.md5(F.col("text"))).orderBy("doc_id")
         ),
     ).filter(F.col("_rn") == 1)
-    cell = S2F.lat_lon_to_cell_id(F.expr(LAT_SQL), F.expr(LON_SQL), 30)
+    from s2cell_spark.functions.native_encode import with_cell_id as _native_cell
+
+    encoded = _native_cell(
+        canon.withColumn("_glat", F.expr(LAT_SQL)).withColumn(
+            "_glon", F.expr(LON_SQL)
+        ),
+        lat_col="_glat",
+        lon_col="_glon",
+        level=30,
+    ).drop("_glat", "_glon")
     return (
-        canon.withColumn("cell_id", cell)
+        encoded
         .groupBy(
             S2F.cell_id_to_token(
                 S2F.cell_id_to_parent_cell_id(F.col("cell_id"), 6)
@@ -1351,11 +1368,34 @@ def _q_dup_clusters_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     production MinHash-LSH candidates — through the same star-alternation
     components; one arm per ``variant`` tag (was dup_clusters /
     dup_clusters_minhash through the r4 restructure). Each arm
-    hash-compares against its own recursive-CTE closure oracle."""
+    hash-compares against its own recursive-CTE closure oracle.
+
+    r5 (verdict item 4): the arms SHARE one parse — shingled_docs runs
+    once into a persisted wsets frame; the jaccard arm derives its capped
+    sets from the cache (dedup.apply_df_cap), the minhash arm feeds it to
+    both the signature build and the candidate verify (which previously
+    re-shingled even within one arm). The cache is released by Spark's
+    ContextCleaner when the returned frame is dropped."""
+    from pyspark import StorageLevel
+
+    from s2cell_spark.operators.dedup import (
+        jaccard_pairs_exact,
+        minhash_near_dup_pairs,
+        shingled_docs,
+    )
+
+    docs = _load_docs(spark, sf_dir)
+    wsets = shingled_docs(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    j_pairs = jaccard_pairs_exact(
+        docs, JACC_THRESHOLD_BP, max_df=JACC_MAX_DF, wsets=wsets
+    )
+    m_pairs = minhash_near_dup_pairs(
+        docs, threshold_bp=JACC_THRESHOLD_BP, wsets=wsets
+    )
     return _union_variants(
         {
-            "jaccard": _q_dup_clusters(spark, sf_dir),
-            "minhash": _q_dup_clusters_minhash(spark, sf_dir),
+            "jaccard": _cluster_labels_out(docs, j_pairs),
+            "minhash": _cluster_labels_out(docs, m_pairs),
         }
     )
 
@@ -1605,12 +1645,18 @@ FROM s WHERE h7 * 100000000 < w_bp * {rate24}"""
 """
 
 
-def _contamination_oracle() -> str:
-    """Full re-derivation of ``operators.contamination``: the identical
-    hash split (salt r4), per-train-doc DISTINCT 3-gram shingle sets,
-    the test split's global distinct shingle set, and the overlap
-    rollup in basis points (integer-exact on both engines)."""
-    sh = "unnest(list_transform(range(1, len(ws)-1), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))"
+def _contamination_oracle(n: int = 3) -> str:
+    """Full re-derivation of ``operators.contamination`` at shingle size
+    `n`: the identical hash split (salt r4), per-train-doc DISTINCT
+    n-gram shingle sets, the test split's global distinct shingle set,
+    and the overlap rollup in basis points (integer-exact on both
+    engines)."""
+    joined = " || ' ' || ".join(
+        "ws[i]" if k == 0 else f"ws[i+{k}]" for k in range(n)
+    )
+    # range() is EXCLUSIVE of its bound: 1-indexed shingle starts run
+    # 1..len-(n-1), so the bound is len-(n-2)  (n=3 -> len(ws)-1)
+    sh = f"unnest(list_transform(range(1, len(ws)-{n - 2}), i -> {joined}))"
     return f"""WITH s AS (
   SELECT *,
          (CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), ':r4')), 1, 8)) AS BIGINT)
@@ -1619,8 +1665,8 @@ def _contamination_oracle() -> str:
 ),
 trw AS (SELECT doc_id AS doc, {_WORDS} AS ws FROM s WHERE b < 9000),
 tew AS (SELECT doc_id AS doc, {_WORDS} AS ws FROM s WHERE b >= 9500),
-trsh AS (SELECT DISTINCT doc, {sh} AS sg FROM trw WHERE len(ws) >= 3),
-besh AS (SELECT DISTINCT {sh} AS sg FROM tew WHERE len(ws) >= 3),
+trsh AS (SELECT DISTINCT doc, {sh} AS sg FROM trw WHERE len(ws) >= {n}),
+besh AS (SELECT DISTINCT {sh} AS sg FROM tew WHERE len(ws) >= {n}),
 sz AS (SELECT doc, CAST(count(*) AS BIGINT) AS n_shingles FROM trsh GROUP BY doc),
 m AS (
   SELECT t.doc, CAST(count(*) AS BIGINT) AS n_matched
@@ -1829,29 +1875,129 @@ SPATIAL_LEVEL = 7
 SPATIAL_MIN_PAGES = 3
 
 
-def _q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Benchmark decontamination report (operators.contamination): the
-    held-out `test` split of the r4 hash split is the benchmark; every
-    `train` doc sharing >= 1 distinct 3-gram shingle with it is reported
-    with its overlap fraction in basis points and a drop flag at
-    {CONTAM_THRESHOLD_BP} bp. Corpus side is map-only into a broadcast
-    semi-probe (bench shingles pass the plan-stats gate); the one
-    exchange is the per-doc matched-count rollup. Oracle: the identical
-    split + shingle + overlap derivation in DuckDB SQL."""
+def _q_contamination_n(n: int):
+    """Benchmark decontamination report (operators.contamination) at
+    shingle size `n`: the held-out `test` split of the r4 hash split is
+    the benchmark; every `train` doc sharing >= 1 distinct n-gram
+    shingle with it is reported with its overlap fraction in basis
+    points and a drop flag at {CONTAM_THRESHOLD_BP} bp. Corpus side is
+    map-only into a broadcast semi-probe (bench shingles pass the
+    plan-stats gate); the one exchange is the per-doc matched-count
+    rollup. Oracle: the identical split + shingle + overlap derivation
+    in DuckDB SQL."""
     from s2cell_spark.operators.contamination import ngram_contamination
     from s2cell_spark.operators.sampling import hash_split
 
-    docs = hash_split(
-        _load_docs(spark, sf_dir),
-        {"train": 9000, "val": 500, "test": 500},
-        salt="r4",
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = hash_split(
+            _load_docs(spark, sf_dir),
+            {"train": 9000, "val": 500, "test": 500},
+            salt="r4",
+        )
+        return ngram_contamination(
+            docs.filter(F.col("split") == "train").drop("split"),
+            docs.filter(F.col("split") == "test").drop("split"),
+            threshold_bp=CONTAM_THRESHOLD_BP,
+            n=n,
+        )
+
+    return q
+
+
+def _q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two decontamination arms under one entry: `n3` (dense overlap on
+    the short synthetic docs — exercises the rollup arithmetic) and
+    `n13` (the GPT-3 App. C / PaLM App. D public-pipeline shingle size —
+    only verbatim duplicated passages match; round-4 verdict item 6)."""
+    return _union_variants(
+        {
+            "n3": _q_contamination_n(3)(spark, sf_dir),
+            "n13": _q_contamination_n(13)(spark, sf_dir),
+        }
     )
-    out = ngram_contamination(
-        docs.filter(F.col("split") == "train").drop("split"),
-        docs.filter(F.col("split") == "test").drop("split"),
-        threshold_bp=CONTAM_THRESHOLD_BP,
+
+
+# geotag-extraction fixture (round-4 verdict item 7): every 7th doc gets
+# a decimal "lat, lon" pair appended to its text, built from INTEGER
+# milli-degree arithmetic (the geotag Knuth-multiplier pattern) so both
+# engines embed byte-identical strings — float formatting is never
+# engine-portable, integer div/mod + lpad is. Signs are handled before
+# the div so truncating (Spark `div`) vs floor (DuckDB `//`) division
+# never diverges (operands are non-negative).
+_GEO_LM = "(((doc_id % 1073741824) * 2654435761 + 40503) % 180001 - 90000)"
+_GEO_LONM = "(((doc_id % 1073741824) * 1597334677 + 57559) % 360001 - 180000)"
+
+
+def _geo_fmt(v: str, div: str, str_t: str) -> str:
+    """milli-degree int expr -> decimal string, e.g. -12345 -> '-12.345'."""
+    return (
+        f"concat(CASE WHEN {v} < 0 THEN '-' ELSE '' END, "
+        f"CAST((abs({v}) {div} 1000) AS {str_t}), '.', "
+        f"lpad(CAST((abs({v}) % 1000) AS {str_t}), 3, '0'))"
     )
-    return out
+
+
+def _geo_embed_sql(div: str, str_t: str) -> str:
+    """text with the fixture coordinate pair appended on doc_id % 7 = 0."""
+    return (
+        "concat(text, CASE WHEN doc_id % 7 = 0 THEN "
+        f"concat(' @', {_geo_fmt(_GEO_LM, div, str_t)}, ', ', "
+        f"{_geo_fmt(_GEO_LONM, div, str_t)}) ELSE '' END)"
+    )
+
+
+def _q_geotag_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geotag extraction (sources.pages.geotag_from_text): native regex
+    pull of the first decimal coordinate pair from page text with bounds
+    check, hash-geotag fallback for pages carrying none — the north
+    star's "geotag from page text/metadata" as an actual extraction
+    operator, map-only end-to-end. Fixture: every 7th doc carries an
+    embedded pair (built by integer arithmetic, byte-identical in the
+    oracle); the rest exercise the fallback arm."""
+    from s2cell_spark.sources.pages import geotag_from_text
+
+    pages = load_pages(spark, sf_dir).withColumn(
+        "text", F.expr(_geo_embed_sql("div", "STRING"))
+    )
+    out = geotag_from_text(pages)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "geo_src",
+        "geo_lat",
+        "geo_lon",
+    )
+
+
+def _geotag_extract_oracle() -> str:
+    regex = "([-+]?\\d{1,3}\\.\\d+)\\s*,\\s*([-+]?\\d{1,3}\\.\\d+)"
+    return f"""{_PAGES_CTE},
+em AS (
+  SELECT doc_id, lat, lon, {_geo_embed_sql("//", "VARCHAR")} AS text
+  FROM pages
+),
+ex AS (
+  SELECT doc_id, lat, lon,
+         regexp_extract(text, '{regex}', 1) AS m1,
+         regexp_extract(text, '{regex}', 2) AS m2
+  FROM em
+),
+cast_ok AS (
+  SELECT doc_id, lat, lon,
+         CASE WHEN m1 <> '' THEN CAST(m1 AS DOUBLE) END AS la,
+         CASE WHEN m2 <> '' THEN CAST(m2 AS DOUBLE) END AS lo
+  FROM ex
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CASE WHEN ok THEN 'text' ELSE 'hash' END AS geo_src,
+       CASE WHEN ok THEN la ELSE lat END AS geo_lat,
+       CASE WHEN ok THEN lo ELSE lon END AS geo_lon
+FROM (
+  SELECT *,
+         (la IS NOT NULL AND lo IS NOT NULL
+          AND abs(la) <= 90.0e0 AND abs(lo) <= 180.0e0) AS ok
+  FROM cast_ok
+)
+"""
 
 
 def _q_spatial_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1925,6 +2071,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination": _q_contamination,
         "quality_score": _q_quality,
         "lang_id": _q_lang_id,
+        "geotag_extract": _q_geotag_extract,
         "ann_topk": _q_ann_all,
         "cosine_near_dups": _q_cosine_near_dups,
         "multimodal_features": _q_multimodal,
@@ -3108,9 +3255,12 @@ def oracle_sql() -> dict[str, str]:
                 "weighted": _train_split_weighted_oracle(),
             }
         ),
-        "contamination": _contamination_oracle(),
+        "contamination": _variant_oracle(
+            {"n3": _contamination_oracle(3), "n13": _contamination_oracle(13)}
+        ),
         "quality_score": _quality_oracle(),
         "lang_id": _lang_oracle(),
+        "geotag_extract": _geotag_extract_oracle(),
         "ann_topk": _variant_oracle(
             {
                 "brute": _ann_oracle(),

@@ -83,6 +83,23 @@ def cell_id_to_parent_cell_id(cid: Column, level: Column | int) -> Column:
     )
 
 
+def cell_id_to_parent_cell_id_unchecked(cid: Column, level: int) -> Column:
+    """Ancestor at `level` WITHOUT the validity/level guards: the bare
+    3-op truncation ``(id & -lsb) | lsb`` with a constant lsb.
+
+    Use ONLY where the input is valid-by-construction at a level >=
+    `level` (e.g. freshly encoded leaf cells): the checked form inlines
+    the validity + log2-level machinery TWICE per call site, and in a
+    fused whole-stage-codegen pipeline (encode stack + join probe +
+    rollup key) that pushes the generated method past HotSpot's
+    8000-bytecode JIT ceiling — the stage then runs INTERPRETED, ~7x
+    slower end-to-end (measured on the throughput job; BENCH/MICRO.md).
+    Bit-identical to cell_id_to_parent_cell_id on valid input.
+    """
+    lsb = F.lit(1 << (2 * (30 - level)))
+    return cid.bitwiseAND(-lsb).bitwiseOR(lsb)
+
+
 def cell_id_range_min(cid: Column) -> Column:
     """Smallest contained leaf ID: ``id - (lsb - 1)`` (same bits as C++
     S2CellId::range_min). Null for invalid IDs — the validity gate also

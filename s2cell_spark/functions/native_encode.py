@@ -64,18 +64,23 @@ MAX_SIZE = kernels.MAX_SIZE  # 2^30
 _DEG2RAD = math.pi / 180.0
 
 # The 1024-entry Hilbert position table as ONE shared array literal
-# (kernels._build_lookups, parity s2cell/s2cell.py:285-342). Values fit
-# in int16 but stay long to keep the downstream bit arithmetic unmixed.
-# Reusing a single Column object shares one JVM Literal across all
-# lookup-round expressions (Catalyst trees may share immutable nodes),
-# and codegen references it as one constant object.
+# (kernels._build_lookups, parity s2cell/s2cell.py:285-342). MUST be a
+# numpy array: ``F.lit(list)`` builds CreateArray with 1024 literal
+# CHILDREN — per-row array construction, and 16 inlined copies blow the
+# 64KB codegen method limit into interpreted fallback (measured 17x
+# slower end-to-end) — while ``F.lit(np.ndarray)`` builds one true
+# ``Literal(ArrayData)`` referenced as a constant object in generated
+# code. Reusing a single Column object shares that one JVM Literal
+# across all lookup-round expressions.
+import numpy as _np
+
 _LUT_POS: Column | None = None
 
 
 def _lut_pos() -> Column:
     global _LUT_POS
     if _LUT_POS is None:
-        _LUT_POS = F.lit([int(v) for v in kernels.LOOKUP_POS])
+        _LUT_POS = F.lit(_np.asarray(kernels.LOOKUP_POS, dtype=_np.int64))
     return _LUT_POS
 
 
@@ -212,3 +217,134 @@ def with_cell_id(
     return df.drop(
         *(c for c in df.columns if c.startswith("_s2n_") and c != out)
     )
+
+
+# ---------------------------------------------------------------------------
+# native decode: cell ID -> cell-center lat/lon (s2cell/s2cell.py:708-771)
+# ---------------------------------------------------------------------------
+
+_RAD2DEG = 180.0 / math.pi  # numpy rad2deg multiplies by this constant
+
+_LUT_IJ: Column | None = None
+
+
+def _lut_ij() -> Column:
+    global _LUT_IJ
+    if _LUT_IJ is None:
+        _LUT_IJ = F.lit(_np.asarray(kernels.LOOKUP_IJ, dtype=_np.int64))
+    return _LUT_IJ
+
+
+def with_lat_lon(
+    df: DataFrame,
+    cell_col: str = "cell_id",
+    lat_out: str = "lat",
+    lon_out: str = "lon",
+) -> DataFrame:
+    """Append the CELL-CENTER (`lat_out`, `lon_out`) degrees of
+    `cell_col`, computed entirely JVM-side — the decode inverse of
+    :func:`with_cell_id` (kernels.cell_id_to_lat_lon parity; input
+    assumed valid, like the kernel).
+
+    8 inverse lookup rounds (LOOKUP_IJ as one true array Literal) ->
+    Si/Ti with the leaf/Hilbert-parity center correction -> quadratic
+    ST->UV -> cube XYZ -> atan2. Float-op order mirrors the kernels,
+    with explicit constant multiplies for radians<->degrees (module
+    docstring); JVM atan2 may differ from libm in the final ulp, inside
+    the corpus gate's 1e-12 tolerance (the reference's own decode gate)
+    and far inside the repo's 1e-7-deg fixed-point comparison grid.
+    """
+    cid = F.col(cell_col)
+    face_c, i_c, j_c, o_c = (
+        _tmp(n) for n in ("dface", "di", "dj", "do")
+    )
+    lut = _lut_ij()
+    df = df.withColumns(
+        {
+            face_c: F.shiftrightunsigned(cid, 61).bitwiseAND(F.lit(7)).cast("long"),
+            i_c: F.lit(0).cast("long"),
+            j_c: F.lit(0).cast("long"),
+        }
+    )
+    df = df.withColumn(o_c, F.col(face_c).bitwiseAND(F.lit(1)))
+    for k in range(7, -1, -1):
+        mask = 15 if k == 7 else 255
+        key = F.col(o_c) + F.shiftright(cid, k * 8 + 1).bitwiseAND(
+            F.lit(mask)
+        ) * F.lit(4)
+        vcol = _tmp(f"dv{k}")
+        df = df.withColumn(vcol, F.get(lut, key.cast("int")).cast("long"))
+        df = df.withColumns(
+            {
+                i_c: F.col(i_c)
+                + F.shiftright(F.col(vcol), 6) * F.lit(1 << (4 * k)).cast("long"),
+                j_c: F.col(j_c)
+                + F.shiftright(F.col(vcol), 2).bitwiseAND(F.lit(15))
+                * F.lit(1 << (4 * k)).cast("long"),
+                o_c: F.col(vcol).bitwiseAND(F.lit(3)),
+            }
+        )
+    # center correction: leaf -> +1; non-leaf -> +2 iff (i ^ (cid>>2)) odd
+    # (both axes use the I parity — reference parity, s2cell/s2cell.py:739)
+    is_leaf = cid.bitwiseAND(F.lit(1).cast("long")) == 1
+    corr = (
+        F.col(i_c).bitwiseXOR(F.shiftright(cid, 2)).bitwiseAND(F.lit(1).cast("long"))
+        == 1
+    )
+    delta = F.when(is_leaf, F.lit(1)).when(corr, F.lit(2)).otherwise(F.lit(0))
+    si_c, ti_c, u_c, v_c = (_tmp(n) for n in ("si", "ti", "du", "dv"))
+    df = df.withColumns(
+        {
+            si_c: F.lit(2).cast("long") * F.col(i_c) + delta.cast("long"),
+            ti_c: F.lit(2).cast("long") * F.col(j_c) + delta.cast("long"),
+        }
+    )
+
+    inv = 1.0 / kernels.MAX_SI_TI
+
+    def _uv(sit: Column) -> Column:
+        st = F.lit(inv) * sit.cast("double")
+        third = F.lit(1.0 / 3.0)
+        return F.when(
+            st >= 0.5, third * (F.lit(4.0) * st * st - F.lit(1.0))
+        ).otherwise(
+            third * (F.lit(1.0) - F.lit(4.0) * (F.lit(1.0) - st) * (F.lit(1.0) - st))
+        )
+
+    df = df.withColumns({u_c: _uv(F.col(si_c)), v_c: _uv(F.col(ti_c))})
+    fc, u, v = F.col(face_c), F.col(u_c), F.col(v_c)
+    one = F.lit(1.0)
+    x = (
+        F.when(fc == 0, one).when(fc == 1, -u).when(fc == 2, -u)
+        .when(fc == 3, -one).otherwise(v)
+    )
+    y = (
+        F.when(fc == 0, u).when(fc == 1, one).when(fc == 2, -v)
+        .when(fc == 3, -v).when(fc == 4, -one).otherwise(u)
+    )
+    z = (
+        F.when(fc == 0, v).when(fc == 1, v).when(fc == 2, one)
+        .when(fc == 3, -u).when(fc == 4, -u).otherwise(-one)
+    )
+    xyz = {_tmp("dx"): x, _tmp("dy"): y, _tmp("dz"): z}
+    df = df.withColumns(xyz)
+    xx, yy, zz = (F.col(c) for c in xyz)
+    # Spark's Atan2 expression adds 0.0 to BOTH operands, erasing signed
+    # zeros — but the antimeridian is decided by them: faces 2/3 have
+    # y = -v, so v == 0 means y is CONCEPTUALLY -0.0 with x <= -0.0 and
+    # the reference's atan2(-0.0, x<=-0.0) = -pi (lon exactly -180; the
+    # corpus encodes the face-2 pole and every face-3 center-line cell
+    # this way). All other zero-y cases (faces 0/5: y = +u) already
+    # normalize to the reference's +0.0 result. Exact by construction:
+    # the branch emits the literal the reference computes.
+    lon_raw = F.atan2(yy, xx) * F.lit(_RAD2DEG)
+    lon = F.when(
+        F.col(face_c).isin(2, 3) & (F.col(v_c) == 0.0), F.lit(-180.0)
+    ).otherwise(lon_raw)
+    df = df.withColumns(
+        {
+            lat_out: F.atan2(zz, F.sqrt(xx * xx + yy * yy)) * F.lit(_RAD2DEG),
+            lon_out: lon,
+        }
+    )
+    return df.drop(*(c for c in df.columns if c.startswith("_s2n_")))

@@ -85,10 +85,13 @@ def connected_components(
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
 
 
-def _star_rounds(e: DataFrame, prev: tuple, max_rounds: int) -> DataFrame:
+def _star_rounds(
+    e: DataFrame, prev: tuple, max_rounds: int, check_every: int = 2
+) -> DataFrame:
     from s2cell_spark.plans.joins import broadcast_if_small
 
-    for _ in range(max_rounds):
+    done = False
+    for i in range(max_rounds):
         # large-star: every neighbor v > u links to m = min(N(u) ∪ {u})
         sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
         m = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
@@ -109,13 +112,23 @@ def _star_rounds(e: DataFrame, prev: tuple, max_rounds: int) -> DataFrame:
             .unionByName(mins.select("u", F.col("m").alias("v")))
             .filter(F.col("u") != F.col("v"))
             .distinct()
-            .localCheckpoint(eager=True)
         )
-        cur = _fingerprint(_canon(e))
-        if cur == prev:
-            break
-        prev = cur
-    else:
+        # checkpoint + convergence fingerprint every `check_every` rounds
+        # (r5, verdict item 4): each is a per-round ACTION, and at
+        # near-dup-edge scale the fixed action cost (task launch x
+        # partitions x shuffles) dominates the actual work. Executing a
+        # 2-round plan under ONE action also lets the in-plan shuffles
+        # flow without a barrier. A converged graph is a fixed point of
+        # both stars, so checking two rounds apart still terminates; the
+        # worst case is one extra (cheap — already-contracted) round.
+        if i % check_every == check_every - 1 or i == max_rounds - 1:
+            e = e.localCheckpoint(eager=True)
+            cur = _fingerprint(_canon(e))
+            if cur == prev:
+                done = True
+                break
+            prev = cur
+    if not done:
         raise RuntimeError(f"connected_components: no convergence in {max_rounds} rounds")
 
     # converged: e is a set of min-rooted stars (u -> root); materialize

@@ -226,13 +226,21 @@ def containment_join_range(
         list(pages.schema.fields) + [StructField("region_id", LongType(), False)]
     )
 
-    # null cells can't be contained anywhere — filtering them first also
-    # guarantees the Arrow batches arrive as int64 (a nullable long batch
-    # degrades to float64 and corrupts IDs above 2^53)
-    pages = pages.filter(F.col(cell_col).isNotNull())
+    # null cells can't be contained anywhere; they are dropped INSIDE the
+    # Arrow stab (pandas mask per batch), NOT as a plan-level filter —
+    # a Filter on `cell_col` would be pushed through whatever projection
+    # stack produced it, and pushdown SUBSTITUTES aliases into the
+    # condition: through the native encode stack (functions/
+    # native_encode) that expansion is multiplicative and planning OOMs
+    # (the CLAUDE.md native-cell filter-pushdown trap). The in-batch drop
+    # also still guarantees int64 Arrow batches (a nullable long batch
+    # with actual nulls degrades to float64 and corrupts IDs over 2^53 —
+    # dropped rows never reach the searchsorted).
 
     def stab(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            if pdf[cell_col].isna().any():
+                pdf = pdf[pdf[cell_col].notna()]
             if pdf.empty:
                 continue
             cells = pdf[cell_col].to_numpy(np.int64).view(np.uint64)

@@ -4,8 +4,10 @@ Before training on a web corpus, every doc must be checked for n-gram
 overlap against the held-out evaluation benchmarks — a training doc that
 contains a benchmark item's text leaks the answer key into the model
 (the standard decontamination step in public LLM data pipelines, e.g.
-GPT-3 App. C / PaLM App. D: 8-13-gram overlap against eval sets; 3-gram
-here because the synthetic test docs are short).
+GPT-3 App. C / PaLM App. D: 8-13-gram overlap against eval sets —
+``n`` is a parameter; the driver fixture checks n=3, where short
+synthetic docs overlap densely, AND n=13, the public-pipeline setting,
+where only verbatim duplicated passages match).
 
 Shape of the computation, and why it scales:
 
@@ -36,14 +38,15 @@ from .dedup import shingled_docs
 from ..plans.joins import broadcast_if_small
 
 
-def benchmark_shingles(bench_docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """DISTINCT shingle set of the benchmark corpus: one column ``s``.
-
-    Deduplicated across benchmark docs (overlap counts ask "is this
-    n-gram anywhere in any benchmark", not "in how many").
+def benchmark_shingles(
+    bench_docs: DataFrame, id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """DISTINCT n-gram shingle set of the benchmark corpus: one column
+    ``s``. Deduplicated across benchmark docs (overlap counts ask "is
+    this n-gram anywhere in any benchmark", not "in how many").
     """
     return (
-        shingled_docs(bench_docs, id_col=id_col)
+        shingled_docs(bench_docs, id_col=id_col, n=n)
         .select(F.explode("ws").alias("s"))
         .distinct()
     )
@@ -54,6 +57,7 @@ def ngram_contamination(
     bench_docs: DataFrame,
     id_col: str = "doc_id",
     threshold_bp: int = 2000,
+    n: int = 3,
 ) -> DataFrame:
     """Per-corpus-doc benchmark overlap: (doc, n_shingles, n_matched,
     contam_bp, contaminated) for every corpus doc sharing >= 1 distinct
@@ -65,7 +69,7 @@ def ngram_contamination(
     dedup.jaccard_pairs_exact). `contaminated` flags docs at or above
     `threshold_bp` — the drop set of a decontamination pass.
     """
-    corpus = shingled_docs(corpus_docs, id_col=id_col)
+    corpus = shingled_docs(corpus_docs, id_col=id_col, n=n)
     # Carry the doc's shingle-set size THROUGH the explode instead of
     # re-joining a corpus-wide sizes frame afterwards: the grouping key
     # (doc, n_shingles) is functionally (doc), so the rollup is one
@@ -75,7 +79,9 @@ def ngram_contamination(
         F.size("ws").cast("long").alias("n_shingles"),
         F.explode("ws").alias("s"),
     )
-    bench = broadcast_if_small(benchmark_shingles(bench_docs, id_col=id_col))
+    bench = broadcast_if_small(
+        benchmark_shingles(bench_docs, id_col=id_col, n=n)
+    )
     matched = (
         exploded.join(bench, on="s", how="inner")
         .groupBy("doc", "n_shingles")

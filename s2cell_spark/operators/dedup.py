@@ -80,9 +80,11 @@ def ensure_split(df: DataFrame) -> DataFrame:
 
 
 def shingled_docs(
-    docs: DataFrame, id_col: str = "doc_id", max_df: int | None = None
+    docs: DataFrame, id_col: str = "doc_id", max_df: int | None = None,
+    n: int = 3,
 ) -> DataFrame:
-    """(doc, ws) with ws = DISTINCT shingle set, docs with >= 1 shingle.
+    """(doc, ws) with ws = DISTINCT n-gram shingle set (default 3),
+    docs with >= 1 shingle.
 
     ``max_df`` applies a document-frequency cap: shingles appearing in
     more than `max_df` docs are removed from every doc's set BEFORE any
@@ -99,11 +101,24 @@ def shingled_docs(
     narrow = ensure_split(docs.select(F.col(id_col).alias("doc"), F.col("text")))
     sets = (
         narrow.select("doc", words_col().alias("wsa"))
-        .select("doc", F.array_distinct(shingles_from_words(F.col("wsa"))).alias("ws"))
+        .select(
+            "doc",
+            F.array_distinct(shingles_from_words(F.col("wsa"), n)).alias("ws"),
+        )
         .filter(F.size("ws") > 0)
     )
     if max_df is None:
         return sets
+    return apply_df_cap(sets, max_df)
+
+
+def apply_df_cap(sets: DataFrame, max_df: int) -> DataFrame:
+    """The document-frequency cap of :func:`shingled_docs` over an
+    ALREADY-SHINGLED (doc, ws) frame — lets a caller running several
+    dedup strategies over one corpus (e.g. the dup_clusters jaccard +
+    minhash arms) parse/shingle ONCE, persist the wsets frame, and
+    derive the capped sets from the cache instead of a second scan.
+    Cap semantics identical to shingled_docs(max_df=...)."""
     dw = sets.select("doc", F.explode("ws").alias("w"))
     # anti-join against the HOT set, not an equi-join against the kept
     # set: hot shingles (df > cap) are FEW at any corpus size by
@@ -138,7 +153,7 @@ def exact_dup_groups(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
 def jaccard_pairs_exact(
     docs: DataFrame, threshold_bp: int, id_col: str = "doc_id",
-    max_df: int | None = None,
+    max_df: int | None = None, wsets: DataFrame | None = None,
 ) -> DataFrame:
     """All doc pairs (a < b) with 3-gram-shingle-SET Jaccard >= threshold
     (basis points; floor of double division — identical in DuckDB).
@@ -156,7 +171,12 @@ def jaccard_pairs_exact(
     pairing, keeping the pair count linear in the corpus. Default off so
     the uncapped result stays the exact full-set Jaccard.
     """
-    base = shingled_docs(docs, id_col, max_df=max_df)
+    if wsets is None:
+        base = shingled_docs(docs, id_col, max_df=max_df)
+    else:
+        # precomputed (doc, ws) — typically persisted by a caller sharing
+        # the parse across strategies; cap applies on top of it
+        base = wsets if max_df is None else apply_df_cap(wsets, max_df)
     dw = base.select("doc", F.size("ws").alias("sz"), F.explode("ws").alias("w"))
     per_s = dw.groupBy("w").agg(
         F.array_sort(F.collect_list(F.struct("doc", "sz"))).alias("ds")
@@ -224,14 +244,16 @@ def shingle_hash_expr(col: str = "s"):
 
 
 def minhash_signatures(
-    docs: DataFrame, num_perm: int = 64, id_col: str = "doc_id"
+    docs: DataFrame, num_perm: int = 64, id_col: str = "doc_id",
+    wsets: DataFrame | None = None,
 ) -> DataFrame:
     """(doc, m0..m{num_perm-1}) MinHash signature — one explode of the
     doc's 3-gram shingles, then `num_perm` min-aggregates (map-side
     partial mins; the only shuffle is the per-doc groupBy). Docs with < 3
     words have no shingles, hence no signature row and never pair."""
     a, b = minhash_params(num_perm)
-    sh = shingled_docs(docs, id_col).select("doc", F.explode("ws").alias("s"))
+    base = shingled_docs(docs, id_col) if wsets is None else wsets
+    sh = base.select("doc", F.explode("ws").alias("s"))
     h = shingle_hash_expr("s")
     mins = [
         F.min((F.lit(a[i]) * h + F.lit(b[i])) % F.lit(MINHASH_PRIME)).alias(f"m{i}")
@@ -245,6 +267,7 @@ def minhash_banded(
     num_perm: int = 64,
     bands: int = 16,
     id_col: str = "doc_id",
+    wsets: DataFrame | None = None,
 ) -> DataFrame:
     """(doc, band, bucket) LSH banding rows — the per-doc state an
     INCREMENTAL dedup pipeline persists between micro-batches (see
@@ -253,7 +276,7 @@ def minhash_banded(
     The bucket key is the signature slice's comma-joined decimal string
     (engine-portable, unlike a murmur hash)."""
     rows_per_band = num_perm // bands
-    sig = minhash_signatures(docs, num_perm, id_col)
+    sig = minhash_signatures(docs, num_perm, id_col, wsets=wsets)
     return sig.select(
         "doc",
         F.explode(
@@ -281,11 +304,12 @@ def minhash_lsh_candidates(
     num_perm: int = 64,
     bands: int = 16,
     id_col: str = "doc_id",
+    wsets: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs via LSH banding: equal signature slice in
     any band -> candidate. One explode (x bands, constant factor) + one
     equi-join on (band, bucket) — scales linearly, no all-pairs term."""
-    banded = minhash_banded(docs, num_perm, bands, id_col)
+    banded = minhash_banded(docs, num_perm, bands, id_col, wsets=wsets)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -302,12 +326,14 @@ def minhash_near_dup_pairs(
     num_perm: int = 64,
     bands: int = 16,
     id_col: str = "doc_id",
+    wsets: DataFrame | None = None,
 ) -> DataFrame:
     """LSH candidates verified with exact shingle-set Jaccard (computed
     only on the candidate pairs via array intersection — no shared-shingle
     join)."""
-    cand = minhash_lsh_candidates(docs, num_perm, bands, id_col)
-    wsets = shingled_docs(docs, id_col)
+    cand = minhash_lsh_candidates(docs, num_perm, bands, id_col, wsets=wsets)
+    if wsets is None:
+        wsets = shingled_docs(docs, id_col)
     joined = (
         cand.join(wsets.withColumnRenamed("doc", "doc_a").withColumnRenamed("ws", "ws_a"), on="doc_a")
         .join(wsets.withColumnRenamed("doc", "doc_b").withColumnRenamed("ws", "ws_b"), on="doc_b")

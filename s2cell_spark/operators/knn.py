@@ -216,10 +216,14 @@ def knn_join(
             )
         ).alias("_nb"),
     )
+    # join on the parent EXPRESSION, never a materialized key column: an
+    # inner join on an attribute key infers isnotnull(attr), and that
+    # filter pushdown-substitutes through whatever produced the cell —
+    # through the native encode stack the expansion is multiplicative
+    # and planning OOMs (CLAUDE.md native-cell filter-pushdown trap;
+    # same inline-key shape as containment_join_equi).
     key = S2F.cell_id_to_parent_cell_id(F.col(cell_col), level)
-    cand = pages.withColumn("_pcell", key).join(
-        hood, on=F.col("_pcell") == F.col("_nb"), how="inner"
-    )
+    cand = pages.join(hood, on=key == F.col("_nb"), how="inner")
     dist = haversine_deg(F.col("q_lat"), F.col("q_lon"), F.col("lat"), F.col("lon"))
     w = Window.partitionBy("query_id").orderBy(dist_rank_key(F.col("dist_deg")), F.col(id_col))
     wq = Window.partitionBy("query_id")

@@ -91,7 +91,21 @@ def load_pages(spark: SparkSession, sf_dir: str, with_html: bool = False) -> Dat
 
 def with_cell_id(pages: DataFrame, level: int = 30) -> DataFrame:
     """Add ``cell_id`` (leaf by default), ``token`` and the order-preserving
-    ``cell_id_sortable`` used for range partitioning / range joins."""
+    ``cell_id_sortable`` used for range partitioning / range joins.
+
+    The encode here is DELIBERATELY the pandas-UDF kernel arm, not the
+    (1.4x faster, bit-identical) native Catalyst arm
+    (functions/native_encode): Catalyst's alias substitution turns any
+    INNER equi-join keyed on a native-cell derivation into a
+    multiplicatively expanded plan (the inferred isnotnull(key) filter
+    is rewritten through the 15-level encode stack — measured 29 MB of
+    plan and a planner OOM at spark-submit's default driver memory,
+    CLAUDE.md trap), and the containment joins downstream of this
+    function are exactly that shape. The opaque PythonUDF node is
+    substitution-safe. Pipelines WITHOUT an inner join on cell
+    derivations (the left-join throughput job, cc_pipeline's fused
+    scan, streaming per-cell aggregates) use the native arm directly.
+    """
     from s2cell_spark import functions as S2F
 
     out = pages.withColumn(
@@ -99,6 +113,48 @@ def with_cell_id(pages: DataFrame, level: int = 30) -> DataFrame:
     )
     return out.withColumn("token", S2F.cell_id_to_token(F.col("cell_id"))).withColumn(
         "cell_id_sortable", S2F.cell_id_sortable(F.col("cell_id"))
+    )
+
+
+# Decimal "lat, lon" pair anywhere in the text; both captures parse as
+# DOUBLE when matched. Java regex here, RE2 in the DuckDB oracle — the
+# pattern uses only the shared subset (classes, bounded repeats, groups).
+GEOTAG_TEXT_RE = r"([-+]?\d{1,3}\.\d+)\s*,\s*([-+]?\d{1,3}\.\d+)"
+
+
+def geotag_from_text(
+    pages: DataFrame,
+    text_col: str = "text",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """Geotag EXTRACTION (north star: geotag "from page text/metadata"):
+    pull the first decimal ``lat, lon`` coordinate pair out of the page
+    text natively (regexp_extract — codegen'd, no Python), bounds-check
+    it (|lat| <= 90, |lon| <= 180), and fall back to the deterministic
+    hash geotag columns when the text carries no usable pair.
+
+    Appends ``geo_src`` ('text' | 'hash'), ``geo_lat``, ``geo_lon``.
+    Map-only: at 100 TB this fuses into whatever scan already runs. The
+    cast sits inside a CASE guard (empty no-match captures would throw
+    under ANSI); matched captures always parse, and string->double
+    parsing is correctly rounded, so the extracted values are
+    bit-identical across engines.
+    """
+    m1 = F.regexp_extract(F.col(text_col), GEOTAG_TEXT_RE, 1)
+    m2 = F.regexp_extract(F.col(text_col), GEOTAG_TEXT_RE, 2)
+    la = F.when(m1 != "", m1.cast("double"))
+    lo = F.when(m2 != "", m2.cast("double"))
+    ok = (
+        la.isNotNull()
+        & lo.isNotNull()
+        & (F.abs(la) <= 90.0)
+        & (F.abs(lo) <= 180.0)
+    )
+    return (
+        pages.withColumn("geo_src", F.when(ok, "text").otherwise("hash"))
+        .withColumn("geo_lat", F.when(ok, la).otherwise(F.col(lat_col)))
+        .withColumn("geo_lon", F.when(ok, lo).otherwise(F.col(lon_col)))
     )
 
 

@@ -2,7 +2,9 @@
 
 Incremental per-cell tile counts over a stream of pages: watermark on
 ``warc_ts`` bounds late data, tumbling windows aggregate per (window,
-level-k cell token). The S2 pandas UDFs work unchanged in streaming —
+level-k cell token). S2 expressions work unchanged in streaming (the
+encode is the r5 native Catalyst arm; pandas-UDF kernels also run
+per-micro-batch where needed) —
 Arrow batches are Arrow batches — and the groupBy key is the native parent
 expr, so state is keyed on (window, cell) with partial aggregation.
 
@@ -35,9 +37,9 @@ def streaming_cell_counts(
     watermark: str = "2 hours",
 ) -> DataFrame:
     """windowed (window_start, cell_token, n_pages) stream."""
-    with_cell = pages_stream.withColumn(
-        "cell_id", S2F.lat_lon_to_cell_id(F.col("lat"), F.col("lon"), 30)
-    )
+    from s2cell_spark.functions.native_encode import with_cell_id as _native
+
+    with_cell = _native(pages_stream, level=30)
     parent = S2F.cell_id_to_parent_cell_id(F.col("cell_id"), level)
     return (
         with_cell.withWatermark("warc_ts", watermark)
@@ -58,7 +60,8 @@ def streaming_containment_counts(
     watermark: str = "2 hours",
 ) -> DataFrame:
     """Windowed per-REGION page counts over a stream: encode each page's
-    cell in-stream (the pandas UDF runs per micro-batch unchanged), then
+    cell in-stream (r5: the NATIVE Catalyst encode — pure exprs work in
+    any streaming mode, no Python workers per micro-batch), then
     a STREAM-STATIC broadcast equi-join against the normalized covering
     dim (`coverings` = the batch
     ``containment.normalized_coverings_df(spark, regions, level)`` —
@@ -69,6 +72,10 @@ def streaming_containment_counts(
     micro-batch, so covering updates between restarts are picked up; the
     only streaming state is the windowed aggregate keyed by
     (window, region_id) — bounded by the watermark."""
+    # UDF encode here: this is an INNER join keyed on a cell derivation
+    # — with the native encode the inferred isnotnull(key) substitutes
+    # through the stack and explodes planning (sources/pages.with_cell_id
+    # docstring; CLAUDE.md trap)
     with_cell = pages_stream.withColumn(
         "cell_id", S2F.lat_lon_to_cell_id(F.col("lat"), F.col("lon"), 30)
     )
@@ -152,6 +159,8 @@ def streaming_radius_alerts(pages_stream: DataFrame, spark, circles) -> DataFram
     url). streaming==batch equivalence is tested."""
     from s2cell_spark.operators.radius import within_radius_join
 
+    # UDF encode: within_radius_join is an inner containment join on a
+    # cell derivation (native-cell plan-explosion trap, CLAUDE.md)
     with_cell = pages_stream.withColumn(
         "cell_id", S2F.lat_lon_to_cell_id(F.col("lat"), F.col("lon"), 30)
     )

@@ -74,7 +74,14 @@ def spark():
         .config("spark.sql.shuffle.partitions", "8")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", "4g")
+        # HotSpot won't JIT generated methods >8000 bytecodes while Spark
+        # only falls back at 65535 — between the two a fused stage runs
+        # interpreted (or worse, deopt-OOMs a 4g test JVM on the native
+        # encode stack). Same setting as bench.make_spark; CLAUDE.md trap.
+        .config("spark.sql.codegen.hugeMethodLimit", "8000")
+        .config("spark.driver.memory", "8g")  # native-encode fused stages
+        # intermittently deopt-OOM a 4g JVM (JIT scalar-replacement
+        # reallocation) — headroom, not a leak
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )

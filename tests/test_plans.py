@@ -81,7 +81,9 @@ def test_exact_filter_sits_below_encode_udf(spark, entry):
 )
 # (cell_heatmap_l8 / hierarchical_rollup legitimately contain ONE
 # ArrowEvalPython: the S2 encode kernel itself; the aggregation around it
-# is native — covered by test_heatmap_has_partial_aggregation.)
+# is native — covered by test_heatmap_has_partial_aggregation. The
+# native encode arm is NOT the query-path default: inner containment
+# joins on native-cell keys explode planning — CLAUDE.md trap.)
 def test_native_queries_have_no_python_eval(spark, entry, name):
     """Everything not inherently kernel-bound stays in JVM codegen — the
     'UDFs are the slow path' rule, enforced."""
@@ -351,7 +353,8 @@ def test_cc_pipeline_is_fused_single_scan(spark, entry):
     plan = _plan(entry.queries()["cc_pipeline"](spark, SF))
     assert "Join" not in plan
     assert plan.count("Scan parquet") == 1
-    assert plan.count("ArrowEvalPython") == 1
+    # r5: the S2 encode is native, so the whole pipeline is Python-free
+    assert "ArrowEvalPython" not in plan
     assert "BatchEvalPython" not in plan
 
 
@@ -441,21 +444,38 @@ def test_spatial_clusters_adjacency_is_equi_join(spark, entry):
     )
 
 
-def test_throughput_job_single_pass_encodes_every_page(spark, entry, tmp_path):
+@pytest.mark.parametrize("arm", ["native", "arrow"])
+def test_throughput_job_single_pass_encodes_every_page(spark, entry, tmp_path, arm):
     """The north-rule bench job's "pages/sec" honesty pin (round 4,
     BENCH/MICRO.md): ONE pages scan with NOTHING pushed into it (outer-
     join tag semantics make the rect predicate un-pushable, so every page
     is S2-encoded), one LEFT BroadcastHashJoin against the covering dim,
     and a partial+final rollup — no SortMergeJoin, no pages-side
-    exchange before the aggregate."""
+    exchange before the aggregate. Pinned for BOTH encode arms: the r5
+    default `native` arm must additionally have ZERO Python nodes (its
+    whole point — rows never leave the JVM)."""
     import bench
+    from pyspark.sql import functions as F
+
+    from s2cell_spark import functions as S2F
+    from s2cell_spark.functions.native_encode import (
+        with_cell_id as native_with_cell_id,
+    )
     from s2cell_spark.operators.containment import normalized_coverings_df
-    from s2cell_spark.sources.pages import load_pages, with_cell_id
+    from s2cell_spark.sources.pages import load_pages
 
     # materialize literal lat/lon columns like the bench input table
-    path = str(tmp_path / "pages")
+    path = str(tmp_path / f"pages_{arm}")
     load_pages(spark, SF).write.parquet(path)
-    pages = with_cell_id(spark.read.parquet(path))
+    if arm == "native":
+        pages = native_with_cell_id(
+            spark.read.parquet(path).select("lat", "lon"), level=30
+        )
+    else:
+        # the UDF arm, exactly as bench._make_throughput_job builds it
+        pages = spark.read.parquet(path).withColumn(
+            "cell_id", S2F.lat_lon_to_cell_id(F.col("lat"), F.col("lon"), 30)
+        )
     cov_df = normalized_coverings_df(spark, entry._box_regions(), 10)
     plan = _plan(bench.throughput_result_df(spark, pages, cov_df))
     scans = [ln for ln in plan.splitlines() if "Scan parquet" in ln]
@@ -463,9 +483,11 @@ def test_throughput_job_single_pass_encodes_every_page(spark, entry, tmp_path):
     assert "DataFilters: []" in scans[0]  # nothing pushed: every page scans
     assert "BroadcastHashJoin" in plan and "LeftOuter" in plan
     assert "SortMergeJoin" not in plan
-    # exactly one page-side encode stage (a second ArrowEvalPython lives
-    # in the covering-dim build subtree)
-    assert plan.count("ArrowEvalPython") <= 2
+    if arm == "native":
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    else:
+        # the UDF arm must really contain its one encode stage
+        assert plan.count("ArrowEvalPython") == 1
     # rollup is partial+final around a single hash exchange of cell keys
     assert plan.count("HashAggregate") >= 2
 
@@ -480,7 +502,7 @@ def test_bulk_pip_covering_runs_on_executors_and_exact_stage_is_native(spark, en
     plan = _plan(entry._q_pip_regions_bulk(spark, SF))
     assert "MapInPandas" in plan
     assert "BatchEvalPython" not in plan
-    assert plan.count("ArrowEvalPython") == 1
+    assert plan.count("ArrowEvalPython") == 1  # the pages S2-encode kernel
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan and "NestedLoop" not in plan
     # every hash exchange belongs to the (tiny) covering side's dedup —

@@ -35,7 +35,8 @@ MIN_ROWS = {
     "supplier_cell_revenue": 40,
     "asof_clicks_views": 400,  # window + chunked arms x ~200
     "train_split": 8,  # train/val/test x (hash + stratified) + 2 weighted rates
-    "contamination": 150,
+    "contamination": 150,  # n3 (~340) + n13 (verbatim-dup passages only)
+    "geotag_extract": 400,  # one row per doc: text-extracted + hash arms
     "spatial_clusters": 15,
     "user_sessions": 100,
     "events_cell_quantiles": 100,
